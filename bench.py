@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Headline benchmark: mixed-precision GMRES(m) speedup over the
+uniform-fp64 baseline (time-to-tolerance), on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+``vs_baseline`` is our measured speedup divided by the BASELINE.json
+north-star target (1.3x): >= 1.0 means the target is met.  (The reference's
+own geo-mean on its GPU/CPU hardware is 1.18-1.61x depending on
+orthogonalization — BASELINE.md.)
+
+The matrix is a synthetic convection-diffusion operator (this environment
+has no network access to SuiteSparse); sizes mirror the paper's mid-size
+problems (~1M rows, ~5M nnz).  Extra diagnostics go to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_solve(A, b, cfg):
+    from gmres_tpu import solve
+
+    # warm-up run compiles every cycle variant; timed run measures steady state
+    res = solve(A, b, cfg)
+    t0 = time.perf_counter()
+    res = solve(A, b, cfg)
+    wall = time.perf_counter() - t0
+    return res, wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=1024)
+    ap.add_argument("--rlen", type=int, default=30)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--orth", default="cgsr")
+    ap.add_argument("--prec", default="identity")
+    ap.add_argument("--max-restarts", type=int, default=40)
+    args = ap.parse_args()
+
+    from gmres_tpu import GmresConfig, PrecisionSpec
+    from gmres_tpu.io.rng import rand_vect
+    from gmres_tpu.io.synth import convection_diffusion_2d
+    from gmres_tpu.ops.spmv import spmv
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.perf_counter()
+    A = convection_diffusion_2d(args.nx, beta=20.0)
+    n, nnz = A.n_rows, A.nnz
+    log(f"matrix: conv-diff {args.nx}x{args.nx}, n={n:,}, nnz={nnz:,} "
+        f"(built in {time.perf_counter()-t0:.1f}s)")
+
+    x_true = rand_vect(n, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+
+    common = dict(
+        orth=args.orth,
+        precond=args.prec,
+        restart_length=args.rlen,
+        tol=args.tol,
+        max_restarts=args.max_restarts,
+    )
+
+    results = {}
+    for mode in ("baseline", "mixed"):
+        cfg = GmresConfig(precision=PrecisionSpec.from_mode(mode), **common)
+        res, wall = run_solve(A, b, cfg)
+        err = float(np.linalg.norm(np.asarray(res.x, dtype=np.float64) - x_true))
+        results[mode] = (res, wall)
+        log(f"{mode}: converged={res.converged} restarts={res.restarts} "
+            f"iters={res.total_iters} wall={wall:.3f}s err={err:.3e} "
+            f"nnz/s={res.total_iters*nnz/max(wall,1e-9):.3e}")
+
+    t_base = results["baseline"][1]
+    t_mixed = results["mixed"][1]
+    speedup = t_base / t_mixed
+    target = 1.3  # BASELINE.json north-star
+    print(json.dumps({
+        "metric": "gmres_mixed_vs_fp64_speedup",
+        "value": round(speedup, 4),
+        "unit": "x (time-to-tolerance ratio)",
+        "vs_baseline": round(speedup / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""Solver configuration.
+
+The reference exposes four hard-coded precision modes, three
+orthogonalization kernels, four preconditioners and four restart policies
+through CLI flags (``gmres_perf_test.cpp:327-394``).  Here the same surface
+is a single frozen (hashable) dataclass: it is passed as a *static* argument
+to the jitted restart cycle, so each distinct configuration compiles exactly
+once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import numpy as np
+
+
+class Mode(str, enum.Enum):
+    """The reference's four test modes (``gmres_perf_test.cpp:31-36``)."""
+
+    BASELINE = "baseline"          # uniform fp64
+    SINGLE_PREC = "single-prec"    # fp64 solver, fp32 preconditioner
+    MIXED = "mixed"                # fp64 outer residual, fp32 inner cycle
+    SINGLE = "single"              # uniform fp32
+
+
+class Orth(str, enum.Enum):
+    """Orthogonalization kernels (``Orthogonalization.hpp:76-136``)."""
+
+    CGS = "cgs"
+    MGS = "mgs"
+    CGSR = "cgsr"
+
+
+class Precond(str, enum.Enum):
+    """Preconditioners (``gmres_perf_test.cpp:24-29``, ``types.hpp:244-448``)."""
+
+    ILU = "ilu"                  # ILU(0), exact triangular solves
+    ILU_JACOBI = "ilu_jacobi"    # ILU(0), Jacobi-iteration triangular solves
+    JACOBI = "jacobi"            # inverse main diagonal
+    IDENTITY = "identity"
+
+
+class RestartPolicy(str, enum.Enum):
+    """Restart policies (``IterUtil.hpp:17-227``).
+
+    The reference selects among these in ``alloc_convergence``
+    (``gmres_perf_test.cpp:185-196``): ``rtol == 0`` means FIXED, otherwise
+    ``--repeat-iter`` / ``--orthloss`` flags pick the variant, with
+    relative-preconditioned-residual as the default.
+    """
+
+    FIXED = "fixed"
+    REL_PREC_RES = "relres"
+    REPEAT_ITERATION = "repeat"
+    LOST_ORTHOGONALITY = "orthloss"
+
+
+# Canonical dtype names accepted in PrecisionSpec.  Strings keep the config
+# hashable; resolve with `np.dtype`/`jnp.dtype` at trace time.
+_DTYPES = ("float64", "float32", "bfloat16")
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecisionSpec:
+    """Explicit dtype staging, generalizing the reference's four modes.
+
+    - ``outer``: dtype of x, b and the true-residual accumulation
+      (``r_accum`` in ``gmres.cpp:158``).
+    - ``inner``: dtype of the Krylov basis, Hessenberg matrix, Givens
+      rotations, and the matrix used inside the Arnoldi cycle
+      (``A_single`` in ``gmres.cpp:139``).
+    - ``precond``: dtype the preconditioner is built in and applied in;
+      cross-dtype application round-trips through a cast
+      (``typesafe_apply``, ``gmres.cpp:12-17``).
+    """
+
+    outer: str = "float64"
+    inner: str = "float64"
+    precond: str = "float64"
+
+    def __post_init__(self):
+        for name in (self.outer, self.inner, self.precond):
+            if name not in _DTYPES:
+                raise ValueError(f"unsupported dtype {name!r}; use one of {_DTYPES}")
+
+    @staticmethod
+    def from_mode(mode: Mode | str) -> "PrecisionSpec":
+        mode = Mode(mode)
+        if mode == Mode.BASELINE:
+            return PrecisionSpec("float64", "float64", "float64")
+        if mode == Mode.SINGLE_PREC:
+            return PrecisionSpec("float64", "float64", "float32")
+        if mode == Mode.MIXED:
+            return PrecisionSpec("float64", "float32", "float32")
+        if mode == Mode.SINGLE:
+            return PrecisionSpec("float32", "float32", "float32")
+        raise ValueError(f"unknown mode {mode}")
+
+    @property
+    def outer_dtype(self) -> np.dtype:
+        return np.dtype(self.outer)
+
+    @property
+    def inner_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.inner)
+
+    @property
+    def precond_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.precond)
+
+
+@dataclasses.dataclass(frozen=True)
+class GmresConfig:
+    """Full solver configuration.  Hashable: used as a static jit argument.
+
+    Field-by-field parity with the reference CLI (``gmres_perf_test.cpp``):
+    ``tol`` (--tol), ``restart_length`` (--rlen), ``max_restarts``
+    (--max-restarts), ``restart_improvement`` (--rtol / --rorth value),
+    ``policy`` (--repeat-iter/--orthloss/rtol!=0 dispatch), ``orth``
+    (--orth), ``precond`` (--prec), ``jacobi_steps`` (--jacobi-steps),
+    ``precision`` (--mode, generalized).
+    """
+
+    precision: PrecisionSpec = PrecisionSpec()
+    orth: Orth = Orth.MGS
+    orth_steps: int = 2  # CGSR re-orthogonalization passes (gmres.cpp:357)
+    precond: Precond = Precond.ILU
+    jacobi_steps: int = 1
+    policy: RestartPolicy = RestartPolicy.FIXED
+    restart_length: int = 30
+    restart_improvement: float = 0.0  # --rtol / --rorth
+    tol: float = 1e-6
+    max_restarts: int = 1_000_000
+    # Name of the mesh axis rows are sharded over, or None for single-device.
+    axis_name: str | None = None
+    # Use the fused Pallas kernels on TPU for the hot ops (SpMV etc.).
+    use_pallas: bool = True
+
+    def __post_init__(self):
+        object.__setattr__(self, "orth", Orth(self.orth))
+        object.__setattr__(self, "precond", Precond(self.precond))
+        object.__setattr__(self, "policy", RestartPolicy(self.policy))
+        if self.restart_length < 1:
+            raise ValueError(
+                "restart_length must be >= 1 (the reference CLI defaults to 0 "
+                "and relies on callers always passing --rlen; we validate)"
+            )
+        if self.orth_steps < 1:
+            raise ValueError("orth_steps must be >= 1")
+
+    @property
+    def m(self) -> int:
+        return self.restart_length
+
+    def with_(self, **kw) -> "GmresConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def from_flags(
+        mode: str = "mixed",
+        orth: str = "mgs",
+        prec: str = "ilu",
+        rlen: int = 30,
+        rtol: float = 0.0,
+        tol: float = 1e-6,
+        max_restarts: int = 1_000_000,
+        repeat_iter: bool = False,
+        orthloss: bool = False,
+        jacobi_steps: int = 1,
+        **kw,
+    ) -> "GmresConfig":
+        """Map the reference's CLI flag semantics onto a config.
+
+        Mirrors ``alloc_convergence`` (``gmres_perf_test.cpp:185-196``):
+        rtol==0 -> fixed restart; else repeat-iter / orthloss flags pick the
+        policy, default relative-preconditioned-residual.
+        """
+        if repeat_iter and orthloss:
+            raise ValueError(
+                "Repeated Iteration Restart cannot be used with OrthLoss restart"
+            )
+        if rtol == 0:
+            policy = RestartPolicy.FIXED
+        elif repeat_iter:
+            policy = RestartPolicy.REPEAT_ITERATION
+        elif orthloss:
+            policy = RestartPolicy.LOST_ORTHOGONALITY
+        else:
+            policy = RestartPolicy.REL_PREC_RES
+        return GmresConfig(
+            precision=PrecisionSpec.from_mode(mode),
+            orth=Orth(orth.lower()),
+            precond=Precond(prec),
+            jacobi_steps=jacobi_steps,
+            policy=policy,
+            restart_length=rlen,
+            restart_improvement=rtol,
+            tol=tol,
+            max_restarts=max_restarts,
+            **kw,
+        )

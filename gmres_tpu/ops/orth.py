@@ -1,0 +1,81 @@
+"""Orthogonalization kernels: CGS, MGS, CGSR.
+
+Operation-sequence parity with ``Orthogonalization.hpp:76-136`` (see
+SURVEY.md §2.4), recast for a row-stored Krylov basis ``V`` of static shape
+``(m+1, n_local)`` inside a jitted loop:
+
+- the growing column range ``V[:, 0:k+1]`` of the reference becomes a
+  masked full-width product (static shapes; the O(m/k) overcompute trades
+  FLOPs for an XLA-friendly dataflow);
+- CGS is two basis matvecs and **one** allreduce per Arnoldi step; MGS is
+  k+1 sequential dot/axpy pairs (k+1 allreduces) — the reason CGS/CGSR are
+  the TPU defaults at scale, consistent with the paper's GPU findings;
+- CGSR re-runs the CGS pass ``orth_steps-1`` more times, accumulating the
+  correction weights into h (``Orthogonalization.hpp:129-134``).
+
+All products use HIGHEST precision so fp32 stays true fp32 on the MXU
+(no bf16 3-pass decomposition surprises in convergence behavior).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gmres_tpu.ops.blas import dot
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _masked_gram(V: jax.Array, w: jax.Array, k, axis_name):
+    """u[j] = <v_j, w> for j <= k, 0 elsewhere.  One psum when sharded."""
+    m1 = V.shape[0]
+    mask = jnp.arange(m1) <= k
+    u = jnp.matmul(V, w, precision=_HI)
+    u = jnp.where(mask, u, 0)
+    if axis_name is not None:
+        u = jax.lax.psum(u, axis_name)
+    return u
+
+
+def cgs(V, k, w, axis_name=None):
+    """Classical Gram-Schmidt (``Orthogonalization.hpp:76-89``)."""
+    u = _masked_gram(V, w, k, axis_name)
+    w = w - jnp.matmul(u, V, precision=_HI)
+    return u, w
+
+
+def mgs(V, k, w, axis_name=None):
+    """Modified Gram-Schmidt (``Orthogonalization.hpp:91-107``): sequential
+    dot+naxpy pairs, one per basis vector."""
+    m1 = V.shape[0]
+    h = jnp.zeros((m1,), dtype=V.dtype)
+
+    def body(j, carry):
+        h, w = carry
+        vj = V[j]
+        hj = dot(w, vj, axis_name)
+        w = w - hj * vj
+        return h.at[j].set(hj), w
+
+    h, w = jax.lax.fori_loop(0, k + 1, body, (h, w))
+    return h, w
+
+
+def cgsr(V, k, w, axis_name=None, orth_steps: int = 2):
+    """CGS with re-orthogonalization (``Orthogonalization.hpp:109-136``)."""
+    h, w = cgs(V, k, w, axis_name)
+    for _ in range(orth_steps - 1):
+        u, w = cgs(V, k, w, axis_name)
+        h = h + u
+    return h, w
+
+
+def orthogonalize(kind: str, V, k, w, axis_name=None, orth_steps: int = 2):
+    if kind == "cgs":
+        return cgs(V, k, w, axis_name)
+    if kind == "mgs":
+        return mgs(V, k, w, axis_name)
+    if kind == "cgsr":
+        return cgsr(V, k, w, axis_name, orth_steps)
+    raise ValueError(f"unknown orthogonalization {kind!r}")

@@ -1,0 +1,220 @@
+"""Distributed GMRES over a 1-D device mesh (shard_map).
+
+The same restart-cycle code as the single-device solver runs inside
+``shard_map``: each shard rebuilds its local CSR block and the cycle's
+reductions (`nrm2`/`dot`/Gram matvecs) psum over the ``rows`` axis while the
+SpMV all-gathers its operand (SURVEY.md §5.8).  The host driver loop is
+shared with the single-device path (``solver/gmres.py:drive_restarts``).
+
+Scalar results (norms, policy state, iteration counts) are replicated
+across shards by construction — every shard computes them from psum'd
+reductions — so one host fetch per restart serves the whole mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gmres_tpu.config import GmresConfig
+from gmres_tpu.ops.blas import nrm2
+from gmres_tpu.precond.apply import typesafe_apply
+from gmres_tpu.precond.build import (
+    IdentityPrec,
+    ILUJacobiPrec,
+    JacobiPrec,
+    build_preconditioner,
+)
+from gmres_tpu.parallel.partition import (
+    PartitionedCSR,
+    pad_vector,
+    partition_rows,
+)
+from gmres_tpu.solver.gmres import (
+    GmresResult,
+    drive_restarts,
+    prepare_operators,
+    restart_cycle_impl,
+)
+from gmres_tpu.solver.policies import initial_policy_state
+from gmres_tpu.sparse import CSRMatrix
+
+_f64 = jnp.float64
+AXIS = "rows"
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("lower", "upper", "inv_diag"),
+    meta_fields=("steps",),
+)
+@dataclasses.dataclass(frozen=True)
+class DistILUJacobiPrec:
+    """Row-partitioned ILU-Jacobi factors (global padded inv_diag is
+    sharded alongside)."""
+
+    lower: PartitionedCSR
+    upper: PartitionedCSR
+    inv_diag: jax.Array
+    steps: int
+
+
+def _partition_prec(M, n_shards: int):
+    if isinstance(M, IdentityPrec):
+        return M
+    if isinstance(M, JacobiPrec):
+        # padded rows get inv_diag 1.0: they only ever see zero inputs
+        pad = pad_vector(np.asarray(M.inv_diag), n_shards)
+        n = np.asarray(M.inv_diag).shape[0]
+        pad[n:] = 1.0
+        return JacobiPrec(inv_diag=jnp.asarray(pad))
+    if isinstance(M, ILUJacobiPrec):
+        pad = pad_vector(np.asarray(M.inv_diag), n_shards)
+        n = np.asarray(M.inv_diag).shape[0]
+        pad[n:] = 1.0
+        return DistILUJacobiPrec(
+            lower=partition_rows(M.lower, n_shards),
+            upper=partition_rows(M.upper, n_shards),
+            inv_diag=jnp.asarray(pad),
+            steps=M.steps,
+        )
+    raise TypeError(f"cannot partition {type(M)}")
+
+
+def _localize_prec(M):
+    """Inside shard_map: rebuild the shard-local preconditioner."""
+    if isinstance(M, DistILUJacobiPrec):
+        return ILUJacobiPrec(
+            lower=M.lower.local_block(),
+            upper=M.upper.local_block(),
+            inv_diag=M.inv_diag,
+            steps=M.steps,
+        )
+    return M
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                             check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def make_distributed_cycle(cfg: GmresConfig, mesh: Mesh):
+    """shard_map'd restart cycle; same signature as restart_cycle_impl but
+    over partitioned operands."""
+    cfg = cfg.with_(axis_name=AXIS)
+
+    def local_cycle(Ao, Ai, M, b, x, b_norm, minvb_norm, a_norm, pstate):
+        A_out = Ao.local_block()
+        A_in = Ai.local_block()
+        M_loc = _localize_prec(M)
+        return restart_cycle_impl(
+            cfg, A_out, A_in, M_loc, b, x, b_norm, minvb_norm, a_norm, pstate
+        )
+
+    sharded = P(AXIS)
+    repl = P()
+    fn = _shard_map(
+        local_cycle,
+        mesh,
+        in_specs=(sharded, sharded, sharded, sharded, sharded, repl, repl, repl, repl),
+        out_specs=(sharded, repl),
+    )
+    return jax.jit(fn), cfg
+
+
+def solve_distributed(
+    A: CSRMatrix,
+    b,
+    cfg: GmresConfig | None = None,
+    mesh: Mesh | None = None,
+    x0=None,
+    record_history: bool = False,
+    progress=None,
+) -> GmresResult:
+    """Row-partitioned GMRES over all devices (or the given mesh)."""
+    cfg = cfg or GmresConfig()
+    if mesh is None:
+        mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
+    n_shards = mesh.devices.size
+    out_dt = jnp.dtype(cfg.precision.outer)
+    in_dt = cfg.precision.inner_dtype
+    n = A.n_rows
+
+    t0 = time.perf_counter()
+    A_out, A_in = prepare_operators(A, cfg)
+    M = build_preconditioner(A, cfg)
+    prec_seconds = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    # one-time norms on the unpartitioned operands (single-device, O(n))
+    b_arr = jnp.asarray(np.asarray(b), dtype=out_dt)
+    b_norm = nrm2(b_arr).astype(_f64)
+    minvb_norm = nrm2(typesafe_apply(M, b_arr.astype(in_dt))).astype(_f64)
+    a_norm = nrm2(A_in.vals).astype(_f64)
+
+    # partition + shard
+    Ao_p = partition_rows(A_out, n_shards)
+    Ai_p = Ao_p if A_in is A_out else partition_rows(A_in, n_shards)
+    M_p = _partition_prec(M, n_shards)
+
+    shard0 = NamedSharding(mesh, P(AXIS))
+    put = lambda t: jax.tree.map(lambda a: jax.device_put(a, shard0), t)
+    Ao_p, Ai_p = put(Ao_p), put(Ai_p)
+    M_p = put(M_p) if not isinstance(M_p, IdentityPrec) else M_p
+
+    b_pad = jax.device_put(pad_vector(np.asarray(b, dtype=out_dt), n_shards), shard0)
+    if x0 is None:
+        x = jnp.zeros_like(b_pad)
+    else:
+        x = jax.device_put(pad_vector(np.asarray(x0, dtype=out_dt), n_shards), shard0)
+
+    cycle, dist_cfg = make_distributed_cycle(cfg, mesh)
+    pstate0 = initial_policy_state()
+
+    def cycle_call(x, pstate):
+        return cycle(Ao_p, Ai_p, M_p, b_pad, x, b_norm, minvb_norm, a_norm, pstate)
+
+    result = drive_restarts(cycle_call, x, dist_cfg, record_history, progress)
+    result.prec_seconds = prec_seconds
+    result.solve_seconds = time.perf_counter() - t1
+    result.x = result.x[:n]
+    return result
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + run one distributed step on tiny shapes (driver hook)."""
+    from gmres_tpu.config import PrecisionSpec
+    from gmres_tpu.io.rng import rand_vect
+    from gmres_tpu.io.synth import poisson_2d
+    from gmres_tpu.ops.spmv import spmv
+
+    devs = jax.devices()[:n_devices]
+    mesh = Mesh(np.array(devs), (AXIS,))
+    A = poisson_2d(10)  # n=100
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("mixed"),
+        orth="cgsr",
+        precond="ilu_jacobi",
+        jacobi_steps=2,
+        restart_length=8,
+        tol=1e-8,
+        max_restarts=50,
+    )
+    res = solve_distributed(A, b, cfg, mesh=mesh)
+    assert res.converged, "distributed dryrun failed to converge"
+    err = float(np.linalg.norm(np.asarray(res.x) - x_true))
+    assert err < 1e-4, f"distributed dryrun error too large: {err}"

@@ -1,0 +1,130 @@
+"""1-D row partitioning of CSR matrices over a device mesh.
+
+The scaling axis of this framework (new scope vs the single-device
+reference — SURVEY.md §2.6/§5.8): each chip owns a contiguous block of rows
+of A and the matching slice of every vector (x, b, r, and each Krylov basis
+vector).  Rows are padded so every shard has identical static shapes:
+
+- row count padded to a multiple of the shard count (padded rows are empty
+  — they contribute zeros everywhere and never affect norms);
+- per-shard nnz padded to the max across shards (padded entries have
+  value 0 and point at local row ``rows_per-1`` / global column 0).
+
+Column indices stay **global**: the baseline distributed SpMV all-gathers
+the operand vector and gathers locally (``ops/spmv.py``).  The
+local/halo-split optimization lives in ``parallel/halo.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+
+from gmres_tpu.sparse import CSRMatrix
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("row_ptr", "col_idx", "row_ids", "vals"),
+    meta_fields=("n_shards", "rows_per_shard", "n_cols", "nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class PartitionedCSR:
+    """Row-partitioned CSR: arrays stacked over a leading shard axis."""
+
+    row_ptr: jax.Array  # (P, rows_per+1) int32, shard-local offsets
+    col_idx: jax.Array  # (P, K) int32, GLOBAL column indices
+    row_ids: jax.Array  # (P, K) int32, shard-LOCAL row ids (sorted)
+    vals: jax.Array     # (P, K) dtype
+    n_shards: int
+    rows_per_shard: int
+    n_cols: int         # global (padded) column count
+    nnz: int            # true global stored-entry count
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def astype(self, dtype) -> "PartitionedCSR":
+        return dataclasses.replace(self, vals=self.vals.astype(dtype))
+
+    def local_block(self) -> CSRMatrix:
+        """Rebuild the shard-local CSRMatrix inside shard_map (arrays there
+        have leading dim 1)."""
+        return CSRMatrix(
+            row_ptr=self.row_ptr[0],
+            col_idx=self.col_idx[0],
+            row_ids=self.row_ids[0],
+            vals=self.vals[0],
+            n_rows=self.rows_per_shard,
+            n_cols=self.n_cols,
+            nnz=self.nnz,
+        )
+
+
+def padded_size(n: int, n_shards: int) -> int:
+    return -(-n // n_shards) * n_shards
+
+
+def pad_vector(v: np.ndarray, n_shards: int) -> np.ndarray:
+    n_pad = padded_size(v.shape[0], n_shards)
+    if n_pad == v.shape[0]:
+        return v
+    out = np.zeros((n_pad,), dtype=v.dtype)
+    out[: v.shape[0]] = v
+    return out
+
+
+def partition_rows(A: CSRMatrix, n_shards: int, pad_multiple: int = 1024) -> PartitionedCSR:
+    """Split A into n_shards contiguous row blocks with identical shapes."""
+    n = A.n_rows
+    n_pad = padded_size(n, n_shards)
+    rows_per = n_pad // n_shards
+
+    rp = np.asarray(A.row_ptr).astype(np.int64)
+    nnz = int(rp[-1])
+    ci = np.asarray(A.col_idx)[:nnz]
+    v = np.asarray(A.vals)[:nnz]
+
+    # global padded row_ptr
+    rp_pad = np.concatenate([rp, np.full(n_pad - n, rp[-1], dtype=np.int64)])
+
+    starts = [rp_pad[s * rows_per] for s in range(n_shards)]
+    ends = [rp_pad[(s + 1) * rows_per] if s < n_shards - 1 else nnz for s in range(n_shards)]
+    # note: last shard's end is nnz == rp_pad[n_pad]
+    ends = [int(rp_pad[min((s + 1) * rows_per, n_pad)]) for s in range(n_shards)]
+    local_nnz = [int(e - s0) for s0, e in zip(starts, ends)]
+    K = max(pad_multiple, -(-max(local_nnz) // pad_multiple) * pad_multiple)
+
+    row_ptr_stack = np.zeros((n_shards, rows_per + 1), dtype=np.int32)
+    col_stack = np.zeros((n_shards, K), dtype=np.int32)
+    rid_stack = np.full((n_shards, K), rows_per - 1, dtype=np.int32)
+    val_stack = np.zeros((n_shards, K), dtype=v.dtype)
+
+    for s in range(n_shards):
+        lo, hi = int(starts[s]), int(ends[s])
+        cnt = hi - lo
+        row_ptr_stack[s] = (rp_pad[s * rows_per : (s + 1) * rows_per + 1] - lo).astype(
+            np.int32
+        )
+        col_stack[s, :cnt] = ci[lo:hi]
+        val_stack[s, :cnt] = v[lo:hi]
+        local_rows = np.repeat(
+            np.arange(rows_per, dtype=np.int32),
+            np.diff(rp_pad[s * rows_per : (s + 1) * rows_per + 1]).astype(np.int64),
+        )
+        rid_stack[s, :cnt] = local_rows
+
+    return PartitionedCSR(
+        row_ptr=row_ptr_stack,
+        col_idx=col_stack,
+        row_ids=rid_stack,
+        vals=val_stack,
+        n_shards=n_shards,
+        rows_per_shard=rows_per,
+        n_cols=n_pad,
+        nnz=nnz,
+    )

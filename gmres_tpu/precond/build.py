@@ -1,0 +1,171 @@
+"""Preconditioner construction (host, setup-time) -> device pytrees.
+
+Mirrors the reference's dispatch in ``DoBaselineProblem``
+(``gmres_perf_test.cpp:68-92``): ILU / ILU-Jacobi factor with ``ilu0`` on
+the fp64 matrix and downcast; Jacobi extracts a safeguarded inverse
+diagonal; identity is a no-op.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import numpy as np
+
+from gmres_tpu.config import GmresConfig, Precond
+from gmres_tpu.precond.ilu0 import (
+    diag_positions,
+    ilu0_factorize,
+    triangular_level_counts,
+)
+from gmres_tpu.sparse import CSRMatrix, csr_from_arrays
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=(), meta_fields=())
+@dataclasses.dataclass(frozen=True)
+class IdentityPrec:
+    pass
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("inv_diag",),
+    meta_fields=(),
+)
+@dataclasses.dataclass(frozen=True)
+class JacobiPrec:
+    """Inverse main diagonal with the reference's pivot safeguard
+    ``alpha = eps(float32) * max_i ||row_i||_1`` (``types.hpp:397-431``;
+    note the reference uses float eps regardless of build dtype)."""
+
+    inv_diag: jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("lower", "upper", "inv_diag"),
+    meta_fields=("steps",),
+)
+@dataclasses.dataclass(frozen=True)
+class ILUJacobiPrec:
+    """ILU(0) factors applied via Jacobi-iteration triangular solves
+    (``types.hpp:251-372``, ``kernels.hpp:172-248``) — the TPU-first
+    preconditioner: each sweep is a strict-triangular SpMV + elementwise.
+
+    ``lower``: strictly-lower part of the factor (unit diagonal implied).
+    ``upper``: upper part *including* the diagonal.
+    ``steps``: Jacobi sweeps per triangle; for the exact-ILU variant this is
+    the pattern's dependency-level count, at which the (nilpotent) iteration
+    reproduces the exact triangular solve.
+    """
+
+    lower: CSRMatrix
+    upper: CSRMatrix
+    inv_diag: jax.Array
+    steps: int
+
+
+def _split_triangles(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    fvals: np.ndarray,
+    diag: np.ndarray,
+    dtype,
+) -> tuple[CSRMatrix, CSRMatrix, np.ndarray]:
+    n = row_ptr.shape[0] - 1
+    rp = row_ptr.astype(np.int64)
+    nnz = rp[-1]
+    ci = col_idx[:nnz].astype(np.int64)
+    pos = np.arange(nnz, dtype=np.int64)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+
+    diag_of_row = diag[row_ids]
+    lower_mask = pos < diag_of_row
+    upper_mask = pos >= diag_of_row  # includes the diagonal
+
+    def build(mask):
+        r = row_ids[mask]
+        counts = np.bincount(r, minlength=n).astype(np.int64)
+        rptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=rptr[1:])
+        return csr_from_arrays(
+            rptr.astype(np.int32),
+            ci[mask].astype(np.int32),
+            fvals[mask].astype(dtype),
+            n_cols=n,
+        )
+
+    inv_diag = (1.0 / fvals[diag]).astype(dtype)
+    return build(lower_mask), build(upper_mask), inv_diag
+
+
+def build_jacobi(A: CSRMatrix, dtype) -> JacobiPrec:
+    rp = np.asarray(A.row_ptr).astype(np.int64)
+    nnz = rp[-1]
+    ci = np.asarray(A.col_idx)[:nnz].astype(np.int64)
+    # The reference builds Jacobi<PrecType> from a PrecType *copy* of A
+    # (cross-dtype SparseMatrix conversion), so the row norms and diagonal
+    # come from downcast values.
+    v = np.asarray(A.vals)[:nnz].astype(dtype).astype(np.float64)
+    n = A.n_rows
+
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    row_abs = np.zeros(n)
+    np.add.at(row_abs, row_ids, np.abs(v))
+    alpha = float(np.finfo(np.float32).eps) * float(row_abs.max(initial=0.0))
+
+    diag = diag_positions(rp, ci)
+    dv = v[diag]
+    clamped = np.where(dv >= 0, np.maximum(dv, alpha), np.minimum(dv, -alpha))
+    return JacobiPrec(inv_diag=(1.0 / clamped).astype(dtype))
+
+
+def build_ilu_jacobi(A: CSRMatrix, dtype, steps: int) -> ILUJacobiPrec:
+    rp = np.asarray(A.row_ptr)
+    nnz = int(rp[-1])
+    ci = np.asarray(A.col_idx)[:nnz]
+    v = np.asarray(A.vals)[:nnz].astype(np.float64)
+    fvals, diag = ilu0_factorize(rp, ci, v, factor_dtype=np.dtype(dtype))
+    fvals = np.asarray(fvals, dtype=np.float64).astype(dtype).astype(np.float64)
+    lower, upper, inv_diag = _split_triangles(rp, ci, fvals, diag, dtype)
+    return ILUJacobiPrec(lower=lower, upper=upper, inv_diag=inv_diag, steps=steps)
+
+
+def build_ilu_exact(A: CSRMatrix, dtype) -> ILUJacobiPrec:
+    """Exact ILU(0) triangular solves, expressed as level-count Jacobi
+    sweeps (the strict triangles are nilpotent of exactly that index, so the
+    sweep recursion terminates at the exact substitution result).
+
+    This is the TPU-native equivalent of csrsv2's level-scheduled solve
+    (``kernels_cuda.cpp:617-695``): same dependency levels, but each level
+    sweep is a full masked SpMV instead of a scattered row batch.
+    """
+    rp = np.asarray(A.row_ptr)
+    nnz = int(rp[-1])
+    ci = np.asarray(A.col_idx)[:nnz]
+    v = np.asarray(A.vals)[:nnz].astype(np.float64)
+    fvals, diag = ilu0_factorize(rp, ci, v, factor_dtype=np.dtype(dtype))
+    fvals = np.asarray(fvals, dtype=np.float64).astype(dtype).astype(np.float64)
+    nlev_l, nlev_u = triangular_level_counts(rp.astype(np.int64), ci, diag)
+    lower, upper, inv_diag = _split_triangles(rp, ci, fvals, diag, dtype)
+    return ILUJacobiPrec(
+        lower=lower, upper=upper, inv_diag=inv_diag, steps=max(nlev_l, nlev_u)
+    )
+
+
+def build_preconditioner(A: CSRMatrix, cfg: GmresConfig):
+    """Build the preconditioner in the configured dtype from the (fp64)
+    assembled matrix, as the reference does (``gmres_perf_test.cpp:68-92``:
+    ``ilu0<PrecType>(A_double)``, ``Jacobi<PrecType>(A)``)."""
+    dtype = cfg.precision.precond_dtype
+    if cfg.precond == Precond.IDENTITY:
+        return IdentityPrec()
+    if cfg.precond == Precond.JACOBI:
+        return build_jacobi(A, dtype)
+    if cfg.precond == Precond.ILU_JACOBI:
+        return build_ilu_jacobi(A, dtype, cfg.jacobi_steps)
+    if cfg.precond == Precond.ILU:
+        return build_ilu_exact(A, dtype)
+    raise ValueError(f"unknown preconditioner {cfg.precond}")

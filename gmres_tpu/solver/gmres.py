@@ -1,0 +1,367 @@
+"""Restarted GMRES(m), TPU-native.
+
+The reference's solvers (``gmres_baseline``/``gmres_singleUpdate``,
+``gmres.cpp:24-245``) synchronize with the host every inner iteration (a
+device fence plus a scalar read of ``|s(k+1)|``, ``gmres.cpp:113-114``) and
+once more for every ``h(k+1,k)`` normalization.  On TPU that structure is
+latency-bound, so the design here inverts it:
+
+- **one jitted function per restart cycle** (static restart length m): the
+  fp-high residual, the preconditioned norms, the whole Arnoldi/Givens inner
+  loop (``lax.while_loop``), the restart-policy predicate, and the
+  solution update all run on device;
+- the host loop does exactly one scalar fetch per *restart*, implementing
+  the reference's ``check_initial`` bookkeeping (restart counting, abort,
+  convergence detection — which in the reference only ever fires at restart
+  boundaries, SURVEY.md §2.2);
+- all four precision modes are one code path with explicit dtype staging
+  (``PrecisionSpec``): the reference's ``gmres_baseline`` is
+  inner==outer, ``gmres_singleUpdate`` is fp64-outer/fp32-inner with the
+  solution increment promoted before accumulation
+  (``gmres.cpp:276-290``, ``Orthogonalization.hpp:67-73``).
+
+Numerical contract parity (see SURVEY.md §2.2): initial convergence uses the
+unpreconditioned residual against ``||b|| + ||A||_F ||x||`` with
+``||A||_F`` taken from the *inner-dtype* values array; ``r_norm`` is
+measured after the cast to the inner dtype; Givens rotations, the
+``s=[beta,0,...]`` right-hand side, and the restart policies follow the
+reference exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmres_tpu.config import GmresConfig, Orth, RestartPolicy
+from gmres_tpu.ops.blas import nrm2
+from gmres_tpu.ops.givens import apply_rotations, rotg
+from gmres_tpu.ops.orth import orthogonalize, _masked_gram
+from gmres_tpu.ops.spmv import spmv
+from gmres_tpu.ops.tri import trsv_upper_padded
+from gmres_tpu.precond.apply import typesafe_apply
+from gmres_tpu.precond.build import build_preconditioner
+from gmres_tpu.solver.policies import PolicyState, initial_policy_state
+from gmres_tpu.sparse import CSRMatrix
+
+_HI = jax.lax.Precision.HIGHEST
+_f64 = jnp.float64
+
+
+class CycleInfo(NamedTuple):
+    """Per-restart scalars returned to the host (one fetch per cycle)."""
+
+    converged0: jax.Array    # bool: check_initial convergence test
+    r_norm: jax.Array        # f64: unpreconditioned residual norm
+    beta: jax.Array          # f64: preconditioned residual norm
+    rel_initial: jax.Array   # f64: r_norm / (||b|| + ||A||_F ||x||)
+    prec_rel0: jax.Array     # f64: beta / ||M^{-1} b||
+    k_final: jax.Array       # i32: inner iterations this cycle
+    arnoldi_final: jax.Array  # f64: |s(k+1)| at cycle end
+    pstate: PolicyState
+
+
+def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
+                 pstate: PolicyState, minvb_norm, n_local: int):
+    """The Arnoldi / Givens / policy inner loop.  Returns (y @ V update
+    pieces, k_final)."""
+    axis = cfg.axis_name
+    in_dt = cfg.precision.inner_dtype
+    m = cfg.m
+    orthloss = cfg.policy == RestartPolicy.LOST_ORTHOGONALITY
+
+    V0 = jnp.zeros((m + 1, n_local), dtype=in_dt)
+    v0 = jnp.where(beta != 0, w0 / beta, jnp.zeros_like(w0))
+    V0 = V0.at[0].set(v0)
+    s0 = jnp.zeros((m + 1,), dtype=in_dt).at[0].set(beta)
+    H0 = jnp.zeros((m + 1, m), dtype=in_dt)
+    cs0 = jnp.zeros((m + 1,), dtype=in_dt)
+    sn0 = jnp.zeros((m + 1,), dtype=in_dt)
+    S0 = jnp.zeros((m + 1, m + 1), dtype=in_dt) if orthloss else jnp.zeros((1, 1), in_dt)
+
+    carry0 = dict(
+        V=V0, H=H0, cs=cs0, sn=sn0, s=s0, S=S0,
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        loss_sq=jnp.asarray(0.0, _f64),
+    )
+
+    def cond(c):
+        return ~c["done"]
+
+    def body(c):
+        V, H, cs, sn, s = c["V"], c["H"], c["cs"], c["sn"], c["s"]
+        k = c["k"]
+
+        v_k = jax.lax.dynamic_index_in_dim(V, k, axis=0, keepdims=False)
+        w = spmv(A_in, v_k, axis)
+        w = typesafe_apply(M, w, axis)
+
+        h_col, w = orthogonalize(cfg.orth.value, V, k, w, axis, cfg.orth_steps)
+
+        h_next = nrm2(w, axis)
+        # The reference divides unconditionally (Orthogonalization.hpp:59 —
+        # no happy-breakdown guard); we guard the h==0 case to a zero vector
+        # (mirrors first_vector's beta==0 branch) instead of poisoning with NaN.
+        v_next = jnp.where(h_next != 0, w / h_next, jnp.zeros_like(w))
+        V = jax.lax.dynamic_update_index_in_dim(V, v_next, k + 1, axis=0)
+
+        h_col = h_col.at[k + 1].set(h_next)
+        h_col = apply_rotations(h_col, cs, sn, k)
+        r_, c_, s_ = rotg(h_col[k], h_col[k + 1])
+        h_col = h_col.at[k].set(r_).at[k + 1].set(0)
+        cs = cs.at[k].set(c_)
+        sn = sn.at[k].set(s_)
+        sk = s[k]
+        s = s.at[k].set(c_ * sk).at[k + 1].set(-s_ * sk)
+        H = jax.lax.dynamic_update_slice(H, h_col[:, None], (jnp.int32(0), k))
+
+        k1 = k + 1
+        arnoldi = jnp.abs(s[k1]).astype(_f64)
+
+        # --- restart policy (IterUtil.hpp check()) ---
+        restart = cfg.m <= k1
+        if cfg.policy == RestartPolicy.REL_PREC_RES:
+            restart = restart | (arnoldi / minvb_norm <= restart_tol)
+        elif cfg.policy == RestartPolicy.REPEAT_ITERATION:
+            trigger = jnp.where(
+                pstate.is_first,
+                arnoldi / minvb_norm <= restart_tol,
+                pstate.second_restart_length <= k1,
+            )
+            restart = restart | trigger
+        loss_sq = c["loss_sq"]
+        S = c["S"]
+        if orthloss:
+            u = _masked_gram(V, v_next, k, axis)  # <v_j, v_{k+1}>, j<=k
+            s_col = u - jnp.matmul(S[: m + 1, : m + 1], u, precision=_HI)
+            mask = jnp.arange(m + 1) <= k
+            s_col = jnp.where(mask, s_col, 0)
+            S = jax.lax.dynamic_update_slice(S, s_col[:, None], (jnp.int32(0), k1))
+            loss_sq = loss_sq + jnp.dot(s_col, s_col, precision=_HI).astype(_f64)
+            restart = restart | (loss_sq >= cfg.restart_improvement**2)
+
+        return dict(V=V, H=H, cs=cs, sn=sn, s=s, S=S, k=k1,
+                    done=restart, loss_sq=loss_sq)
+
+    final = jax.lax.while_loop(cond, body, carry0)
+    return final
+
+
+def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
+                       b, x, b_norm, minvb_norm, a_norm, pstate: PolicyState):
+    """One outer iteration: residual, check_initial quantities, inner
+    Arnoldi loop (skipped when already converged), solution update."""
+    axis = cfg.axis_name
+    in_dt = cfg.precision.inner_dtype
+    out_dt = jnp.dtype(cfg.precision.outer)
+    m = cfg.m
+
+    # r = b - A x in the outer dtype (gmres.cpp:62-63, 172-174)
+    r = b - spmv(A_out, x, axis)
+    w0 = r.astype(in_dt)
+    r_norm = nrm2(w0, axis).astype(_f64)
+    w0 = typesafe_apply(M, w0, axis)
+    beta = nrm2(w0, axis)
+    x_norm = nrm2(x, axis).astype(_f64)
+
+    rel_initial = r_norm / (b_norm + a_norm * x_norm)
+    converged0 = rel_initial <= cfg.tol
+    prec_rel0 = beta.astype(_f64) / minvb_norm
+
+    # restart-policy threshold for this cycle
+    if cfg.policy == RestartPolicy.REL_PREC_RES:
+        restart_tol = prec_rel0 * cfg.restart_improvement
+    elif cfg.policy == RestartPolicy.REPEAT_ITERATION:
+        restart_tol = jnp.where(
+            pstate.is_first, prec_rel0 * cfg.restart_improvement, pstate.restart_tol
+        )
+    else:
+        restart_tol = pstate.restart_tol
+
+    n_local = x.shape[0]
+
+    def run(x):
+        final = _inner_cycle(cfg, A_in, M, w0, beta, restart_tol, pstate,
+                             minvb_norm, n_local)
+        k_fin = final["k"]
+        # solution_update (gmres.cpp:276-303): y = H[:k,:k]^{-1} s[:k];
+        # x += V[:,:k] y, promoted to the outer dtype in mixed mode.
+        y = trsv_upper_padded(final["H"][:m, :m], final["s"][:m], k_fin)
+        x_inc = jnp.matmul(y, final["V"][:m], precision=_HI)
+        x_new = x + x_inc.astype(out_dt)
+        arnoldi_final = jnp.abs(final["s"][jnp.minimum(k_fin, m)]).astype(_f64)
+        new_pstate = PolicyState(
+            is_first=jnp.asarray(False),
+            second_restart_length=jnp.where(
+                pstate.is_first, k_fin, pstate.second_restart_length
+            ).astype(jnp.int32),
+            restart_tol=restart_tol.astype(_f64),
+        )
+        return x_new, k_fin, arnoldi_final, new_pstate
+
+    def skip(x):
+        return (
+            x,
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0.0, _f64),
+            PolicyState(
+                is_first=pstate.is_first,
+                second_restart_length=pstate.second_restart_length,
+                restart_tol=restart_tol.astype(_f64),
+            ),
+        )
+
+    x_new, k_fin, arnoldi_final, new_pstate = jax.lax.cond(converged0, skip, run, x)
+
+    info = CycleInfo(
+        converged0=converged0,
+        r_norm=r_norm,
+        beta=beta.astype(_f64),
+        rel_initial=rel_initial,
+        prec_rel0=prec_rel0,
+        k_final=k_fin,
+        arnoldi_final=arnoldi_final,
+        pstate=new_pstate,
+    )
+    return x_new, info
+
+
+_restart_cycle = partial(jax.jit, static_argnums=(0,))(restart_cycle_impl)
+
+
+@dataclasses.dataclass
+class GmresResult:
+    x: jax.Array
+    converged: bool
+    aborted: bool
+    total_iters: int
+    restarts: int                 # the reference's `i` at termination
+    final_k: int                  # 0 when converged at check_initial
+    rel_prec_res: float           # beta/||M^{-1}b|| at the converged check
+    residual_norm: float | None = None  # true fp-high ||b - A x|| (driver)
+    error_norm: float | None = None     # ||x - x_true|| when truth known
+    prec_seconds: float = 0.0
+    solve_seconds: float = 0.0
+    history: list | None = None   # per-cycle (rel_initial, prec_rel0, k)
+
+
+def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
+    """Stage the matrix into (outer, inner) dtypes.  When the dtypes match
+    (all baseline-style modes) one array serves both roles, like the
+    reference's single ``A_type``; the mixed mode keeps both
+    (``gmres.cpp:136-141``)."""
+    out_dt = jnp.dtype(cfg.precision.outer)
+    in_dt = cfg.precision.inner_dtype
+    A_in = A.astype(in_dt)
+    A_out = A_in if out_dt == in_dt else A.astype(out_dt)
+    return A_out, A_in
+
+
+def solve(
+    A: CSRMatrix,
+    b,
+    cfg: GmresConfig | None = None,
+    x0=None,
+    M=None,
+    record_history: bool = False,
+    progress=None,
+) -> GmresResult:
+    """Solve A x = b with restarted GMRES(m) under the configured precision
+    staging, orthogonalization, preconditioner and restart policy.
+
+    ``A`` should be the assembled (typically fp64) matrix; dtype staging and
+    preconditioner construction happen here, mirroring
+    ``DoBaselineProblem``/``DoMixedPrecisionProblem``
+    (``gmres_perf_test.cpp:53-182``).
+    """
+    cfg = cfg or GmresConfig()
+    out_dt = jnp.dtype(cfg.precision.outer)
+    in_dt = cfg.precision.inner_dtype
+
+    t0 = time.perf_counter()
+    A_out, A_in = prepare_operators(A, cfg)
+    if M is None:
+        M = build_preconditioner(A, cfg)
+    prec_seconds = time.perf_counter() - t0
+
+    b = jnp.asarray(b, dtype=out_dt)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=out_dt)
+
+    t1 = time.perf_counter()
+    # one-time norms (gmres.cpp:51-57, 162-168)
+    b_norm = nrm2(b).astype(_f64)
+    minvb = typesafe_apply(M, b.astype(in_dt))
+    minvb_norm = nrm2(minvb).astype(_f64)
+    a_norm = nrm2(A_in.vals).astype(_f64)  # Frobenius norm of inner-dtype values
+
+    def cycle_call(x, pstate):
+        return _restart_cycle(
+            cfg, A_out, A_in, M, b, x, b_norm, minvb_norm, a_norm, pstate
+        )
+
+    result = drive_restarts(cycle_call, x, cfg, record_history, progress)
+    result.prec_seconds = prec_seconds
+    result.solve_seconds = time.perf_counter() - t1
+    return result
+
+
+def drive_restarts(
+    cycle_call, x, cfg: GmresConfig, record_history=False, progress=None
+) -> GmresResult:
+    """The host outer loop: one device sync per restart, implementing the
+    reference's ``check_initial`` bookkeeping (restart counting / abort /
+    convergence — IterUtil.hpp:42-51 including the count-before-test quirk)."""
+    pstate = initial_policy_state()
+    history = [] if record_history else None
+    total_iters = 0
+    converged = False
+    aborted = False
+    rel_prec_res = float("nan")
+    final_k = 0
+    i = 0
+    while True:
+        if i + 1 > cfg.max_restarts:
+            # check_initial counts the restart before testing (IterUtil.hpp:42-45)
+            aborted = True
+            break
+        x, info = cycle_call(x, pstate)
+        if bool(info.converged0):
+            converged = True
+            rel_prec_res = float(info.prec_rel0)
+            final_k = 0
+            if record_history:
+                history.append(
+                    dict(i=i, k=0, rel_initial=float(info.rel_initial),
+                         prec_rel0=float(info.prec_rel0))
+                )
+            break
+        k = int(info.k_final)
+        total_iters += k
+        if record_history:
+            history.append(
+                dict(i=i, k=k, rel_initial=float(info.rel_initial),
+                     prec_rel0=float(info.prec_rel0),
+                     arnoldi_final=float(info.arnoldi_final))
+            )
+        if progress is not None:
+            progress(i, k, float(info.rel_initial))
+        pstate = info.pstate
+        i += 1
+
+    return GmresResult(
+        x=x,
+        converged=converged,
+        aborted=aborted,
+        total_iters=total_iters,
+        restarts=i,
+        final_k=final_k,
+        rel_prec_res=rel_prec_res,
+        history=history,
+    )

@@ -1,0 +1,169 @@
+"""Preconditioner tests: ILU(0) factorization vs a dense reference,
+safeguarded Jacobi, ILU-Jacobi sweep semantics, exact-ILU nilpotent solve."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmres_tpu.config import GmresConfig, Precond, PrecisionSpec
+from gmres_tpu.io.synth import convection_diffusion_2d, poisson_2d, random_sparse
+from gmres_tpu.precond.apply import apply_preconditioner, typesafe_apply
+from gmres_tpu.precond.build import (
+    build_ilu_exact,
+    build_ilu_jacobi,
+    build_jacobi,
+    build_preconditioner,
+)
+from gmres_tpu.precond.ilu0 import (
+    diag_positions,
+    ilu0_factorize_numpy,
+    triangular_level_counts,
+)
+
+
+def dense_ilu0(A: np.ndarray) -> np.ndarray:
+    """Dense IKJ ILU(0) restricted to A's nonzero pattern (textbook)."""
+    n = A.shape[0]
+    pattern = A != 0
+    LU = A.astype(np.float64).copy()
+    for i in range(1, n):
+        for k in range(i):
+            if pattern[i, k] and LU[k, k] != 0:
+                factor = LU[i, k] / LU[k, k]
+                LU[i, k] = factor
+                for j in range(k + 1, n):
+                    if pattern[i, j]:
+                        LU[i, j] -= factor * LU[k, j]
+    return LU
+
+
+def test_diag_positions():
+    A = poisson_2d(5)
+    rp = np.asarray(A.row_ptr).astype(np.int64)
+    ci = np.asarray(A.col_idx)
+    d = diag_positions(rp, ci)
+    for i in range(A.n_rows):
+        assert ci[d[i]] == i
+
+
+def test_ilu0_matches_dense_reference():
+    A = convection_diffusion_2d(6)  # nonsymmetric, has a full diagonal
+    rp = np.asarray(A.row_ptr)
+    nnz = int(rp[-1])
+    ci = np.asarray(A.col_idx)[:nnz]
+    v = np.asarray(A.vals)[:nnz]
+    fvals, diag = ilu0_factorize_numpy(rp, ci, v)
+
+    dense = A.to_dense()
+    LU_ref = dense_ilu0(dense)
+    LU_got = np.zeros_like(dense)
+    row_ids = np.repeat(np.arange(A.n_rows), np.diff(rp))
+    LU_got[row_ids, ci] = fvals
+    # compare on the pattern
+    np.testing.assert_allclose(LU_got, LU_ref * (dense != 0), rtol=1e-12, atol=1e-14)
+
+
+def test_ilu0_diag_boost():
+    # a matrix with an exactly-zero pivot after elimination gets boosted
+    A = np.array(
+        [[2.0, 4.0, 0.0],
+         [1.0, 2.0, 1.0],   # pivot (1,1): 2 - (1/2)*4 = 0 -> boosted
+         [0.0, 1.0, 3.0]]
+    )
+    from gmres_tpu.sparse import csr_from_dense
+
+    Ac = csr_from_dense(A)
+    rp = np.asarray(Ac.row_ptr)
+    ci = np.asarray(Ac.col_idx)[: rp[-1]]
+    v = np.asarray(Ac.vals)[: rp[-1]]
+    fvals, diag = ilu0_factorize_numpy(rp, ci, v)
+    alpha = np.finfo(np.float64).eps * 6.0  # max row 1-norm = |2|+|4| = 6
+    assert fvals[diag[1]] == alpha
+
+
+def test_jacobi_safeguard():
+    A = np.diag([4.0, -1e-30, 1e-30, -5.0])
+    A[0, 3] = 6.0  # max row 1-norm = 10
+    from gmres_tpu.sparse import csr_from_dense
+
+    Ac = csr_from_dense(A, keep_zeros=False)
+    M = build_jacobi(Ac, jnp.float64)
+    alpha = np.finfo(np.float32).eps * 10.0
+    want = 1.0 / np.array([4.0, -alpha, alpha, -5.0])
+    np.testing.assert_allclose(np.asarray(M.inv_diag), want, rtol=1e-12)
+
+
+def test_ilu_jacobi_sweep_semantics():
+    """One L sweep then one U sweep, vs the explicit portable-kernel math."""
+    A = convection_diffusion_2d(4)
+    M = build_ilu_jacobi(A, jnp.float64, steps=1)
+    n = A.n_rows
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal(n)
+
+    Ls = M.lower.to_scipy().toarray()
+    Uf = M.upper.to_scipy().toarray()
+    Dinv = np.asarray(M.inv_diag)
+
+    # L-phase: x0 = b; x1 = b - Ls x0
+    x = w - Ls @ w
+    # U-phase: b2 = x; x1 = b2 + Dinv (b2 - U b2)
+    b2 = x
+    want = b2 + Dinv * (b2 - Uf @ b2)
+
+    got = np.asarray(apply_preconditioner(M, jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("steps_factor", [1])
+def test_ilu_exact_is_exact_trisolve(steps_factor):
+    """The nilpotent sweep count reproduces the exact L/U substitution."""
+    A = convection_diffusion_2d(5)
+    M = build_ilu_exact(A, jnp.float64)
+    n = A.n_rows
+    rng = np.random.default_rng(8)
+    w = rng.standard_normal(n)
+
+    Ls = M.lower.to_scipy().toarray()
+    Uf = M.upper.to_scipy().toarray()
+    L = np.eye(n) + Ls
+    want = np.linalg.solve(Uf, np.linalg.solve(L, w))
+
+    got = np.asarray(apply_preconditioner(M, jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_level_counts_tridiagonal():
+    # tridiagonal: every row depends on the previous -> n levels
+    from gmres_tpu.sparse import csr_from_dense
+
+    n = 6
+    T = np.eye(n) * 2 + np.eye(n, k=1) * -1 + np.eye(n, k=-1) * -1
+    Ac = csr_from_dense(T)
+    rp = np.asarray(Ac.row_ptr).astype(np.int64)
+    ci = np.asarray(Ac.col_idx)[: rp[-1]]
+    d = diag_positions(rp, ci)
+    nl, nu = triangular_level_counts(rp, ci, d)
+    assert nl == n and nu == n
+
+
+def test_typesafe_apply_round_trip():
+    A = poisson_2d(4)
+    cfg = GmresConfig(
+        precision=PrecisionSpec("float64", "float64", "float32"),
+        precond=Precond.JACOBI,
+    )
+    M = build_preconditioner(A, cfg)
+    assert M.inv_diag.dtype == jnp.float32
+    w = jnp.asarray(np.random.default_rng(9).standard_normal(16))
+    out = typesafe_apply(M, w)
+    assert out.dtype == jnp.float64
+    want = (np.asarray(w).astype(np.float32) * np.asarray(M.inv_diag)).astype(np.float64)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-7)
+
+
+def test_identity():
+    cfg = GmresConfig(precond=Precond.IDENTITY)
+    M = build_preconditioner(poisson_2d(3), cfg)
+    w = jnp.arange(9.0)
+    assert (np.asarray(typesafe_apply(M, w)) == np.arange(9.0)).all()
