@@ -1,0 +1,182 @@
+"""Experiment sweep runner — the reference's ``automated.py`` capability,
+in-process (no subprocess + stdout-regex scraping; results flow as
+structured objects and are persisted in both the reference CSV schema and
+JSONL).
+
+Cartesian product over (rlen x rtol x tol x rorth x mode x prec) like
+``automated.py:152-156``, plus first-class seed repetition (the reference
+parsed ``seeds`` but never used it — re-invocation was the repetition
+mechanism; we iterate seeds directly).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import sys
+
+
+def run_one(A, mat, mode, orth, prec, rlen, rtol, rorth, tol, max_restarts,
+            repeated_iter, seed, device, dist, b_path=None):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmres_tpu.config import GmresConfig
+    from gmres_tpu.experiments.history import MODE_CODES
+    from gmres_tpu.io.loader import load_vector
+    from gmres_tpu.io.rng import rand_vect
+    from gmres_tpu.ops.spmv import spmv
+
+    n = A.n_rows
+    if b_path:
+        x_host = np.zeros(n)
+        b_host = load_vector(b_path)
+    else:
+        x_host = rand_vect(n, seed)
+        b_host = np.asarray(spmv(A, jnp.asarray(x_host)))
+
+    jacobi_steps = 1
+    prec_name = prec
+    if prec.startswith("ilu_jacobi(") and prec.endswith(")"):
+        jacobi_steps = int(prec[len("ilu_jacobi("):-1])
+        prec_name = "ilu_jacobi"
+
+    cfg = GmresConfig.from_flags(
+        mode=mode,
+        orth=orth,
+        prec=prec_name,
+        rlen=rlen,
+        rtol=(rtol if rorth == 0 else rorth),
+        tol=tol,
+        max_restarts=max_restarts,
+        repeat_iter=repeated_iter,
+        orthloss=rorth != 0,
+        jacobi_steps=jacobi_steps,
+    )
+
+    try:
+        if dist:
+            from gmres_tpu.parallel.dist_gmres import solve_distributed as _solve
+        else:
+            from gmres_tpu.solver.gmres import solve as _solve
+        res = _solve(A, b_host, cfg)
+    except Exception as e:  # diverged/crashed runs are data, not errors
+        print(f"run failed: {e}", file=sys.stderr)
+        res = None
+
+    row = {
+        "mat": mat,
+        "type": MODE_CODES[mode],
+        "orth": orth.upper() if orth != "cgsr" else "CGSR",
+        "rlen": str(rlen),
+        "rtol": ("R" if repeated_iter else "") + f"{rtol:g}",
+        "rorth": f"{rorth:g}",
+        "tol": f"{tol:g}",
+        "device": device,
+        "prec": prec,
+        "seed": seed,
+    }
+    if res is None or (res.aborted and not res.converged):
+        row.update({k: "-" for k in ("i", "total_iters", "res", "err", "ilu", "gmres")})
+        return row
+
+    x64 = np.asarray(res.x, dtype=np.float64)
+    r = b_host - np.asarray(spmv(A, jnp.asarray(x64)))
+    row.update(
+        i=str(res.restarts),
+        total_iters=str(res.total_iters),
+        res=f"{np.linalg.norm(r):g}",
+        err=f"{np.linalg.norm(x64 - x_host):g}",
+        ilu=f"{res.prec_seconds:g}",
+        gmres=f"{res.solve_seconds:g}",
+    )
+    return row
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Runs experiments for mixed precision gmres (TPU-native)"
+    )
+    p.add_argument("--no-baseline", dest="skip_baseline", action="store_true")
+    p.add_argument("--no-mixed", dest="skip_mixed", action="store_true")
+    p.add_argument("--no-singleprec", dest="skip_singlePrec", action="store_true")
+    p.add_argument("--no-single", dest="skip_single", action="store_true")
+    p.add_argument("--orth", default="mgs")
+    p.add_argument("--rorth", default="0")
+    p.add_argument("--repeated-iter", dest="repeated_iter", action="store_true")
+    p.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
+    p.add_argument("--dist", action="store_true")
+    p.add_argument("--prec", default="ilu")
+    p.add_argument("--max-restarts", default="1000000")
+    p.add_argument("--rhs", action="store_true")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("mat")
+    p.add_argument("rlens")
+    p.add_argument("rtols")
+    p.add_argument("tols")
+    p.add_argument("seeds", nargs="?", default="42")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from gmres_tpu.experiments.history import append_rows
+    from gmres_tpu.io.loader import load_matrix
+    from gmres_tpu.cli.solve import make_synth
+
+    mat = args.mat
+    if mat.startswith(("poisson2d:", "poisson3d:", "convdiff:")):
+        A = make_synth(mat)
+        mat_name = mat.replace(":", "")
+        b_path = None
+    else:
+        mat_dir = os.getenv("MTXDIR", "mats")
+        A = load_matrix(os.path.join(mat_dir, mat + ".mtx"))
+        mat_name = mat
+        b_path = os.path.join(mat_dir, mat + "_b.mtx") if args.rhs else None
+
+    rlens = [int(x) for x in args.rlens.split()]
+    rtols = [float(x) for x in args.rtols.split()] if args.rtols else [0.0]
+    tols = [float(x) for x in args.tols.split()]
+    rorths = [float(x) for x in args.rorth.split()]
+    seeds = [int(x) for x in args.seeds.split()]
+    precs = args.prec.split()
+
+    modes = (
+        ([] if args.skip_baseline else ["baseline"])
+        + ([] if args.skip_mixed else ["mixed"])
+        + ([] if args.skip_singlePrec else ["single-prec"])
+        + ([] if args.skip_single else ["single"])
+    )
+
+    rows = []
+    for rl, rt, t, ro, mode, prec, seed in itertools.product(
+        rlens, rtols, tols, rorths, modes, precs, seeds
+    ):
+        print(
+            f"test: {mat_name} {mode} {args.orth} tol = {t:g} rlen = {rl} "
+            f"rtol = {rt:g} rorth = {ro:g} seed = {seed} prec = {prec}",
+            flush=True,
+        )
+        row = run_one(
+            A, mat_name, mode, args.orth.lower(), prec, rl, rt, ro, t,
+            int(args.max_restarts), args.repeated_iter, seed, args.device,
+            args.dist, b_path,
+        )
+        print(
+            f"  -> i={row['i']} iters={row['total_iters']} res={row['res']} "
+            f"err={row['err']} ilu={row['ilu']}s gmres={row['gmres']}s",
+            flush=True,
+        )
+        rows.append(row)
+
+    append_rows(mat_name, rows, args.out_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""Condition-number estimator (``condest.cpp``).
+
+sigma_max: power iteration on A with the Klein-LU iteration bound
+(``condest.cpp:30-33,167-179``).  sigma_min: Golub-Kahan / LSQR-style
+bidiagonalization on a manufactured problem, tracking ``min ||A d|| / ||d||``
+over the error vectors ``d = x_exact - x_t`` (``condest.cpp:37-165``; the
+method of Wiley NLA 10.1002/nla.2235 per the reference notebook).
+
+TPU design: the per-iteration recurrences are pure SpMV + BLAS-1, so each
+LSQR step is one jitted function; steps run in device-side chunks with the
+(rare) stopping checks on host.  A^T is materialized as a second CSR at
+setup (the reference flips a cusparse transpose flag,
+``types_cuda.hpp:145-151`` — on TPU an explicit transposed layout is both
+simpler and faster than a transposed gather).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmres_tpu.io.rng import rand_vect
+from gmres_tpu.ops.blas import nrm2
+from gmres_tpu.ops.spmv import spmv
+from gmres_tpu.sparse import CSRMatrix, csr_from_coo
+
+
+def transpose_csr(A: CSRMatrix) -> CSRMatrix:
+    rp = np.asarray(A.row_ptr).astype(np.int64)
+    nnz = int(rp[-1])
+    ci = np.asarray(A.col_idx)[:nnz]
+    v = np.asarray(A.vals)[:nnz]
+    rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), np.diff(rp))
+    return csr_from_coo(ci.astype(np.int64), rows, v, n_rows=A.n_cols,
+                        n_cols=A.n_rows, sum_duplicates=False)
+
+
+def klein_lu_bound(eps: float, delta: float, n: int) -> int:
+    log_2n = math.log(2 * n)
+    return int(math.ceil((log_2n * log_2n - math.log(eps * delta * delta)) / eps))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _power_iteration(A: CSRMatrix, x, iters: int):
+    def body(_, carry):
+        x, lam = carry
+        y = spmv(A, x)
+        lam = nrm2(y)
+        return jnp.where(lam != 0, y / lam, y), lam
+
+    x, lam = jax.lax.fori_loop(0, iters, body, (x, jnp.asarray(0.0, x.dtype)))
+    return x, lam
+
+
+@jax.jit
+def _lsqr_step(A: CSRMatrix, At: CSRMatrix, state):
+    """One Golub-Kahan step + sigma_min tracking (condest.cpp:97-133)."""
+    u, v, w, x, alpha, beta, phi_bar, rho_bar, x_exact, sigma_min, v_min = state
+
+    u = spmv(A, v) - alpha * u
+    beta = nrm2(u)
+    u = jnp.where(beta != 0, u / beta, u)
+
+    v = spmv(At, u) - beta * v
+    alpha = nrm2(v)
+    v = jnp.where(alpha != 0, v / alpha, v)
+
+    rho = jnp.sqrt(rho_bar**2 + beta**2)
+    c = rho_bar / rho
+    s = beta / rho
+    theta = s * alpha
+    rho_bar = -c * alpha
+    phi = c * phi_bar
+    phi_bar = s * phi_bar
+
+    x = x + (phi / rho) * w
+    w = v + (-theta / rho) * w
+
+    d = x_exact - x
+    d_norm = nrm2(d)
+    Ad = spmv(A, d)
+    ad_norm = nrm2(Ad)
+
+    better = ad_norm < sigma_min * d_norm
+    safe = d_norm != 0
+    sigma_min = jnp.where(better & safe, ad_norm / d_norm, sigma_min)
+    v_min = jnp.where(better & safe, d, v_min)
+
+    new_state = (u, v, w, x, alpha, beta, phi_bar, rho_bar, x_exact,
+                 sigma_min, v_min)
+    scalars = dict(d_norm=d_norm, ad_norm=ad_norm,
+                   x_norm=nrm2(x), sigma_min=sigma_min)
+    return new_state, scalars
+
+
+def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
+            verbose=print):
+    """Estimate cond_2(A).  Returns (cond, sigma_max, sigma_min, iters)."""
+    n = A.n_rows
+    At = transpose_csr(A)
+
+    eps = float(np.finfo(np.float64).eps)
+    c1 = 8 * eps
+    erfinv_c2 = 8.862271574665521045654e-4
+    c3 = 1 / (64 * eps)
+    c4 = math.sqrt(eps)
+    c1_prime = 4 * eps
+    power_iters = klein_lu_bound(0.1, 1e-12, n)
+
+    v_max = jnp.asarray(rand_vect(n, rand_seed + 5))
+    _, sigma_max = _power_iteration(A, v_max, power_iters)
+    sigma_max = float(sigma_max)
+    verbose(f"sigma_max = {sigma_max:g}")
+
+    x_exact = jnp.asarray(rand_vect(n, rand_seed))
+    x_rand_norm = float(nrm2(x_exact))
+    x_exact = x_exact / x_rand_norm
+
+    b = spmv(A, x_exact)
+    b_norm = float(nrm2(b))
+    beta = b_norm
+    u = b / beta
+    v = spmv(At, u)
+    alpha = float(nrm2(v))
+    v = v / alpha
+    w = v
+    x = jnp.zeros_like(v)
+
+    state = (u, v, w, x,
+             jnp.asarray(alpha), jnp.asarray(beta),
+             jnp.asarray(beta),   # phi_bar
+             jnp.asarray(alpha),  # rho_bar
+             x_exact,
+             jnp.asarray(sigma_max),  # sigma_min starts at sigma_max
+             v_max)
+
+    tau = math.sqrt(2) * erfinv_c2 / x_rand_norm
+    T = max_iters
+    sigma_min = sigma_max
+    t = 1
+    while t <= T:
+        state, sc = _lsqr_step(A, At, state)
+        d_norm = float(sc["d_norm"])
+        ad_norm = float(sc["ad_norm"])
+        sigma_min = float(sc["sigma_min"])
+        if d_norm == 0 or math.isnan(ad_norm):
+            break
+        if sigma_min / sigma_max <= c4:
+            c1 = c1_prime
+        if T == max_iters:
+            x_norm = float(sc["x_norm"])
+            if (
+                ad_norm / (sigma_max * x_norm + b_norm) <= c1
+                or d_norm <= tau
+                or sigma_max / sigma_min >= c3
+            ):
+                T = int(math.ceil(t * 1.25))
+                verbose(f"t = {t}: finishing")
+            if t % 10000 == 0:
+                verbose(f"t = {t}: sigma_min = {sigma_min:g}")
+        t += 1
+
+    verbose(f"{t} iterations total")
+    cond = sigma_max / sigma_min
+    verbose(f"Computed cond(A) = {cond:g} = {sigma_max:g}/{sigma_min:g}")
+    return cond, sigma_max, sigma_min, t
