@@ -1,0 +1,142 @@
+"""Kernel microbenchmark — the reference's ``kernel_perf_test`` capability
+(``kernel_perf_test.cpp``: times spmv, dot, dot+axpy "MGS proxy", gemv),
+reporting nnz/s and GB/s per chip — the north-star metrics.
+
+Unlike the reference (which evicts caches between single-shot trials), TPU
+timing uses jitted repetition loops: each op is run in a device-side chain
+long enough to amortize dispatch, which is how steady-state production
+behavior looks under jit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+
+
+def device_loop(fn, reps: int):
+    """Chain fn reps times on device so host dispatch amortizes."""
+    import jax
+
+    @partial(jax.jit, static_argnums=())
+    def run(*args):
+        def body(i, a):
+            return fn(*a)
+
+        return jax.lax.fori_loop(0, reps, body, args)
+
+    return run
+
+
+def time_op(run, args, reps: int, warmup: int = 1) -> float:
+    import jax
+
+    for _ in range(warmup):
+        out = run(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="gmres-bench-kernels")
+    ap.add_argument("--Apath", default=None)
+    ap.add_argument("--synth", default="convdiff:1024")
+    ap.add_argument("--vcols", type=int, default=31, help="basis width for gemv")
+    ap.add_argument("--trials", type=int, default=50)
+    ap.add_argument("--rand", type=int, default=42)
+    ap.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmres_tpu.cli.solve import make_synth
+    from gmres_tpu.io.loader import load_matrix
+    from gmres_tpu.io.rng import rand_vect
+    from gmres_tpu.ops.blas import nrm2
+    from gmres_tpu.ops.spmv import spmv
+
+    A64 = make_synth(args.synth) if args.synth and not args.Apath else load_matrix(args.Apath)
+    n, nnz = A64.n_rows, A64.nnz
+    reps = args.trials
+    print(f"matrix: n={n:,} nnz={nnz:,}; reps={reps}", file=sys.stderr)
+
+    x = jnp.asarray(rand_vect(n, args.rand))
+    results = {}
+
+    from gmres_tpu.ops.dia import from_csr
+
+    dia64 = from_csr(A64)
+    formats = [("csr", A64)] + ([("dia", dia64)] if dia64 is not None else [])
+    for fmt_name, A0 in formats:
+        for dt_name, dt in (("f64", jnp.float64), ("f32", jnp.float32),
+                            ("bf16", jnp.bfloat16)):
+            A = A0.astype(dt)
+            xd = x.astype(dt)
+            run = device_loop(lambda a, v: (a, spmv(a, v)), reps)
+            t = time_op(run, (A, xd), reps)
+            itemsize = jnp.dtype(dt).itemsize
+            bytes_per = nnz * (itemsize + 4) + n * 2 * itemsize  # vals+cols+x+y
+            results[f"spmv_{fmt_name}_{dt_name}"] = dict(
+                seconds=t, nnz_per_s=nnz / t, gb_per_s=bytes_per / t / 1e9
+            )
+            print(f"spmv {fmt_name} {dt_name}: {t*1e6:8.1f} us  {nnz/t:.3e} nnz/s "
+                  f"{bytes_per/t/1e9:7.1f} GB/s", file=sys.stderr)
+
+    for dt_name, dt in (("f64", jnp.float64), ("f32", jnp.float32)):
+        xd = x.astype(dt)
+        y = (x * 0.5).astype(dt)
+
+        def dot_step(w, v, acc):
+            return w, v, acc + jnp.dot(w, v, precision=jax.lax.Precision.HIGHEST)
+
+        run = device_loop(dot_step, reps)
+        t = time_op(run, (xd, y, jnp.zeros((), dt)), reps)
+        results[f"dot_{dt_name}"] = dict(seconds=t, gb_per_s=2 * n * jnp.dtype(dt).itemsize / t / 1e9)
+        print(f"dot  {dt_name}: {t*1e6:8.1f} us  {2*n*jnp.dtype(dt).itemsize/t/1e9:7.1f} GB/s",
+              file=sys.stderr)
+
+        # MGS proxy: dot + axpy
+        def mgs_step(w, v):
+            h = jnp.dot(w, v, precision=jax.lax.Precision.HIGHEST)
+            return w - h * v, v
+
+        run = device_loop(mgs_step, reps)
+        t = time_op(run, (xd, y), reps)
+        results[f"dot_axpy_{dt_name}"] = dict(seconds=t)
+        print(f"mgs  {dt_name}: {t*1e6:8.1f} us", file=sys.stderr)
+
+        # CGS proxy: transposed gemv + gemv against an m x n basis
+        V = jnp.tile(y[None, :], (args.vcols, 1))
+
+        def cgs_step(V, w):
+            u = jnp.matmul(V, w, precision=jax.lax.Precision.HIGHEST)
+            return V, w - jnp.matmul(u, V, precision=jax.lax.Precision.HIGHEST)
+
+        run = device_loop(cgs_step, reps)
+        t = time_op(run, (V, xd), reps)
+        bytes_per = 2 * args.vcols * n * jnp.dtype(dt).itemsize
+        results[f"gemv2_{dt_name}"] = dict(seconds=t, gb_per_s=bytes_per / t / 1e9)
+        print(f"cgs  {dt_name} (m={args.vcols}): {t*1e6:8.1f} us  "
+              f"{bytes_per/t/1e9:7.1f} GB/s", file=sys.stderr)
+
+    if args.json:
+        print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

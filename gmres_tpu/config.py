@@ -141,6 +141,9 @@ class GmresConfig:
     axis_name: str | None = None
     # Use the fused Pallas kernels on TPU for the hot ops (SpMV etc.).
     use_pallas: bool = True
+    # Auto-select the fastest operator format (DIA for banded matrices,
+    # CSR fallback) at solve setup.  Off: keep the caller's format.
+    auto_format: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "orth", Orth(self.orth))

@@ -34,18 +34,24 @@ def gather_operand(x_local: jax.Array, axis_name: str | None) -> jax.Array:
 
 
 def spmv(
-    A: CSRMatrix,
+    A,
     x: jax.Array,
     axis_name: str | None = None,
     x_is_global: bool = False,
 ) -> jax.Array:
-    """y = A @ x in A's dtype.
+    """y = A @ x in A's dtype.  Dispatches on the operator format:
+    DIA (shifted elementwise — the TPU fast path) or CSR
+    (gather + sorted segment-sum fallback for unstructured matrices).
 
     ``x`` may be in a different dtype; it is cast to A's dtype first (the
     reference's SpMV is always dtype-uniform — casts happen at staging
     boundaries, ``gmres.cpp:173-175``).
     """
+    from gmres_tpu.ops.dia import DIAMatrix, dia_spmv
+
     xg = x if x_is_global else gather_operand(x, axis_name)
+    if isinstance(A, DIAMatrix):
+        return dia_spmv(A, xg)
     xg = xg.astype(A.vals.dtype)
     prod = A.vals * xg[A.col_idx]
     return jax.ops.segment_sum(

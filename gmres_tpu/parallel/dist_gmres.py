@@ -153,7 +153,9 @@ def solve_distributed(
     n = A.n_rows
 
     t0 = time.perf_counter()
-    A_out, A_in = prepare_operators(A, cfg)
+    # keep CSR here: the row partitioner consumes CSR (DIA repacking for the
+    # distributed path happens per-shard in halo.py, not yet globally)
+    A_out, A_in = prepare_operators(A, cfg.with_(auto_format=False))
     M = build_preconditioner(A, cfg)
     prec_seconds = time.perf_counter() - t0
 

@@ -155,6 +155,19 @@ def build_ilu_exact(A: CSRMatrix, dtype) -> ILUJacobiPrec:
     )
 
 
+def optimize_precond_format(M):
+    """Re-pack ILU factors into DIA form when banded (single-device fast
+    path; the Jacobi sweeps are then pure shifted elementwise FMAs)."""
+    if isinstance(M, ILUJacobiPrec) and isinstance(M.lower, CSRMatrix):
+        from gmres_tpu.ops.dia import from_csr
+
+        lo = from_csr(M.lower)
+        up = from_csr(M.upper)
+        if lo is not None and up is not None:
+            return dataclasses.replace(M, lower=lo, upper=up)
+    return M
+
+
 def build_preconditioner(A: CSRMatrix, cfg: GmresConfig):
     """Build the preconditioner in the configured dtype from the (fp64)
     assembled matrix, as the reference does (``gmres_perf_test.cpp:68-92``:

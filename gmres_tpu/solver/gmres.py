@@ -256,7 +256,17 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
     """Stage the matrix into (outer, inner) dtypes.  When the dtypes match
     (all baseline-style modes) one array serves both roles, like the
     reference's single ``A_type``; the mixed mode keeps both
-    (``gmres.cpp:136-141``)."""
+    (``gmres.cpp:136-141``).
+
+    With ``cfg.auto_format`` (single-device only), banded matrices are
+    re-packed into DIA form where SpMV runs at HBM bandwidth on TPU
+    (see ``ops/dia.py``)."""
+    if cfg.auto_format and cfg.axis_name is None and isinstance(A, CSRMatrix):
+        from gmres_tpu.ops.dia import from_csr
+
+        dia = from_csr(A)
+        if dia is not None:
+            A = dia
     out_dt = jnp.dtype(cfg.precision.outer)
     in_dt = cfg.precision.inner_dtype
     A_in = A.astype(in_dt)
@@ -289,6 +299,10 @@ def solve(
     A_out, A_in = prepare_operators(A, cfg)
     if M is None:
         M = build_preconditioner(A, cfg)
+    if cfg.auto_format and cfg.axis_name is None:
+        from gmres_tpu.precond.build import optimize_precond_format
+
+        M = optimize_precond_format(M)
     prec_seconds = time.perf_counter() - t0
 
     b = jnp.asarray(b, dtype=out_dt)
