@@ -100,6 +100,20 @@ def read(path: str | os.PathLike):
             n_rows, n_cols, nnz = size
             header = MMHeader(fmt, field, symmetry, n_rows, n_cols, nnz)
             ncols_data = 2 if field == "pattern" else (4 if field == "complex" else 3)
+            if field in ("real", "integer", "pattern") and nnz > 0:
+                # native fast path (C strtol/strtod parser)
+                try:
+                    from gmres_tpu.native import parse_coord_native
+
+                    rest = f.read().encode()
+                    rows, cols, vals = parse_coord_native(
+                        rest, nnz, pattern=(field == "pattern")
+                    )
+                    return header, (rows, cols, vals)
+                except (ImportError, ValueError):
+                    f.seek(0)
+                    _read_banner(f)
+                    _read_size_line(f)
             raw = np.loadtxt(f, dtype=np.float64, comments="%", ndmin=2,
                              max_rows=nnz if nnz > 0 else None)
             if nnz == 0:

@@ -1,0 +1,152 @@
+"""ctypes bindings for the native host kernels (``csrc/gmres_native.cpp``).
+
+The shared library is searched in (1) ``GMRES_TPU_NATIVE`` env var,
+(2) ``csrc/`` next to the repo, (3) a per-user cache; if absent and a C++
+compiler is available it is built on demand (a one-time ~2s cost).  All
+entry points raise ImportError when the library is unavailable — callers
+(``precond/ilu0.py``, ``io/loader.py``) fall back to numpy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).resolve().parent.parent / "csrc" / "gmres_native.cpp"
+_LIB_NAME = "libgmres_native.so"
+
+_lib = None
+_lib_failed = False
+
+
+def _find_or_build() -> pathlib.Path:
+    env = os.environ.get("GMRES_TPU_NATIVE")
+    if env and pathlib.Path(env).exists():
+        return pathlib.Path(env)
+    beside = _SRC.parent / _LIB_NAME
+    if beside.exists() and beside.stat().st_mtime >= _SRC.stat().st_mtime:
+        return beside
+    cache = pathlib.Path(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    ) / "gmres_tpu"
+    cache.mkdir(parents=True, exist_ok=True)
+    cached = cache / _LIB_NAME
+    if cached.exists() and cached.stat().st_mtime >= _SRC.stat().st_mtime:
+        return cached
+    if not _SRC.exists():
+        raise ImportError("native source not found")
+    target = beside if os.access(_SRC.parent, os.W_OK) else cached
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+           "-o", str(target), str(_SRC)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        raise ImportError(f"native build failed: {e}") from e
+    return target
+
+
+def _get_lib():
+    global _lib, _lib_failed
+    if _lib is not None:
+        return _lib
+    if _lib_failed:
+        raise ImportError("native library unavailable")
+    try:
+        path = _find_or_build()
+        lib = ctypes.CDLL(str(path))
+    except (ImportError, OSError) as e:
+        _lib_failed = True
+        raise ImportError(str(e)) from e
+
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+    lib.ilu0_factorize.restype = ctypes.c_int
+    lib.ilu0_factorize.argtypes = [
+        ctypes.c_int64, i32p, i32p, f64p, i64p, ctypes.c_double,
+    ]
+    lib.tri_level_counts.restype = None
+    lib.tri_level_counts.argtypes = [
+        ctypes.c_int64, i32p, i32p, i64p, i64p, i64p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.ilu_trisolve.restype = None
+    lib.ilu_trisolve.argtypes = [
+        ctypes.c_int64, i32p, i32p, f64p, i64p, f64p,
+    ]
+    lib.parse_coord.restype = ctypes.c_int64
+    lib.parse_coord.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p,
+        ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def ilu0_native(row_ptr, col_idx, vals, factor_dtype=np.float64):
+    """Native ILU(0) with the same contract as ilu0_factorize_numpy."""
+    lib = _get_lib()
+    rp = np.ascontiguousarray(row_ptr, dtype=np.int32)
+    n = rp.shape[0] - 1
+    nnz = int(rp[-1])
+    ci = np.ascontiguousarray(col_idx[:nnz], dtype=np.int32)
+    v = np.ascontiguousarray(vals[:nnz], dtype=np.float64).copy()
+
+    row_abs = np.zeros(n)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp.astype(np.int64)))
+    np.add.at(row_abs, row_ids, np.abs(v))
+    alpha = float(np.finfo(factor_dtype).eps) * float(row_abs.max(initial=0.0))
+
+    diag = np.zeros(n, dtype=np.int64)
+    rc = lib.ilu0_factorize(n, rp, ci, v, diag, alpha)
+    if rc != 0:
+        raise ValueError(f"row {-rc - 1} has no diagonal-or-later entry")
+    return v.astype(factor_dtype), diag
+
+
+def levels_native(row_ptr, col_idx, diag):
+    lib = _get_lib()
+    rp = np.ascontiguousarray(row_ptr, dtype=np.int32)
+    n = rp.shape[0] - 1
+    nnz = int(rp[-1])
+    ci = np.ascontiguousarray(col_idx[:nnz], dtype=np.int32)
+    d = np.ascontiguousarray(diag, dtype=np.int64)
+    lev_l = np.zeros(n, dtype=np.int64)
+    lev_u = np.zeros(n, dtype=np.int64)
+    out_l = ctypes.c_int64(0)
+    out_u = ctypes.c_int64(0)
+    lib.tri_level_counts(n, rp, ci, d, lev_l, lev_u,
+                         ctypes.byref(out_l), ctypes.byref(out_u))
+    return int(out_l.value), int(out_u.value)
+
+
+def trisolve_native(row_ptr, col_idx, vals, diag, b):
+    """Exact sequential L/U substitution on the combined factor (host
+    oracle; the reference's ilusv)."""
+    lib = _get_lib()
+    rp = np.ascontiguousarray(row_ptr, dtype=np.int32)
+    n = rp.shape[0] - 1
+    nnz = int(rp[-1])
+    ci = np.ascontiguousarray(col_idx[:nnz], dtype=np.int32)
+    v = np.ascontiguousarray(vals[:nnz], dtype=np.float64)
+    d = np.ascontiguousarray(diag, dtype=np.int64)
+    x = np.ascontiguousarray(b, dtype=np.float64).copy()
+    lib.ilu_trisolve(n, rp, ci, v, d, x)
+    return x
+
+
+def parse_coord_native(text: bytes, nnz: int, pattern: bool = False):
+    """Parse nnz coordinate lines; returns (rows, cols, vals) 0-based."""
+    lib = _get_lib()
+    I = np.empty(nnz, dtype=np.int32)
+    J = np.empty(nnz, dtype=np.int32)
+    V = np.empty(nnz, dtype=np.float64)
+    got = lib.parse_coord(text, len(text), nnz, I, J, V, int(pattern))
+    if got != nnz:
+        raise ValueError(f"parsed {got} of {nnz} entries")
+    return I.astype(np.int64), J.astype(np.int64), V
