@@ -49,6 +49,11 @@ def spmv(
     """
     from gmres_tpu.ops.dia import DIAMatrix, dia_spmv
 
+    if hasattr(A, "halo_left"):  # HaloDIA / HaloCSR (distributed fast path)
+        from gmres_tpu.parallel.halo import halo_spmv
+
+        return halo_spmv(A, x, axis_name)
+
     xg = x if x_is_global else gather_operand(x, axis_name)
     if isinstance(A, DIAMatrix):
         return dia_spmv(A, xg)

@@ -65,7 +65,19 @@ class DistILUJacobiPrec:
     steps: int
 
 
-def _partition_prec(M, n_shards: int):
+def _partition_matrix(A: CSRMatrix, n_shards: int, use_halo: bool):
+    """Halo partition when the pattern allows (neighbor-local coupling),
+    else the allgather row partition."""
+    if use_halo:
+        from gmres_tpu.parallel.halo import partition_halo
+
+        H = partition_halo(A, n_shards)
+        if H is not None:
+            return H
+    return partition_rows(A, n_shards)
+
+
+def _partition_prec(M, n_shards: int, use_halo: bool = True):
     if isinstance(M, IdentityPrec):
         return M
     if isinstance(M, JacobiPrec):
@@ -79,20 +91,28 @@ def _partition_prec(M, n_shards: int):
         n = np.asarray(M.inv_diag).shape[0]
         pad[n:] = 1.0
         return DistILUJacobiPrec(
-            lower=partition_rows(M.lower, n_shards),
-            upper=partition_rows(M.upper, n_shards),
+            lower=_partition_matrix(M.lower, n_shards, use_halo),
+            upper=_partition_matrix(M.upper, n_shards, use_halo),
             inv_diag=jnp.asarray(pad),
             steps=M.steps,
         )
     raise TypeError(f"cannot partition {type(M)}")
 
 
+def _localize_matrix(A):
+    """Inside shard_map: PartitionedCSR blocks rebuild a local CSRMatrix;
+    halo operators pass through (spmv dispatches on them directly)."""
+    if isinstance(A, PartitionedCSR):
+        return A.local_block()
+    return A
+
+
 def _localize_prec(M):
     """Inside shard_map: rebuild the shard-local preconditioner."""
     if isinstance(M, DistILUJacobiPrec):
         return ILUJacobiPrec(
-            lower=M.lower.local_block(),
-            upper=M.upper.local_block(),
+            lower=_localize_matrix(M.lower),
+            upper=_localize_matrix(M.upper),
             inv_diag=M.inv_diag,
             steps=M.steps,
         )
@@ -116,8 +136,8 @@ def make_distributed_cycle(cfg: GmresConfig, mesh: Mesh):
     cfg = cfg.with_(axis_name=AXIS)
 
     def local_cycle(Ao, Ai, M, b, x, b_norm, minvb_norm, a_norm, pstate):
-        A_out = Ao.local_block()
-        A_in = Ai.local_block()
+        A_out = _localize_matrix(Ao)
+        A_in = _localize_matrix(Ai)
         M_loc = _localize_prec(M)
         return restart_cycle_impl(
             cfg, A_out, A_in, M_loc, b, x, b_norm, minvb_norm, a_norm, pstate
@@ -166,10 +186,11 @@ def solve_distributed(
     minvb_norm = nrm2(typesafe_apply(M, b_arr.astype(in_dt))).astype(_f64)
     a_norm = nrm2(A_in.vals).astype(_f64)
 
-    # partition + shard
-    Ao_p = partition_rows(A_out, n_shards)
-    Ai_p = Ao_p if A_in is A_out else partition_rows(A_in, n_shards)
-    M_p = _partition_prec(M, n_shards)
+    # partition + shard (halo exchange when the pattern is neighbor-local,
+    # allgather otherwise; cfg.auto_format opts out)
+    Ao_p = _partition_matrix(A_out, n_shards, cfg.auto_format)
+    Ai_p = Ao_p if A_in is A_out else _partition_matrix(A_in, n_shards, cfg.auto_format)
+    M_p = _partition_prec(M, n_shards, cfg.auto_format)
 
     shard0 = NamedSharding(mesh, P(AXIS))
     put = lambda t: jax.tree.map(lambda a: jax.device_put(a, shard0), t)

@@ -1,0 +1,201 @@
+"""Halo-exchange distributed SpMV.
+
+The allgather baseline (``ops/spmv.py``) moves (P-1)/P of the operand
+vector to every chip per SpMV.  For row-partitioned banded matrices each
+shard only needs two small *edge windows* of x from its neighbors, so the
+exchange becomes two ``ppermute`` sends of ``halo`` elements — O(bandwidth)
+instead of O(n) — riding ICI neighbor links (SURVEY.md §5.8, the
+"context-parallel of Krylov solvers").
+
+Composition with DIA: a row block of a DIA matrix is a column slice of the
+diagonal data with unchanged (static) offsets, so the local SpMV stays a
+fused shifted-FMA pass over ``[left_halo | local | right_halo]``.  A
+rebased-CSR variant covers banded-but-irregular patterns.
+
+Restriction (checked at partition time): the halo must fit within the
+immediate neighbors (halo <= rows_per_shard).  Wider-than-one-shard
+couplings fall back to the allgather path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmres_tpu.ops.dia import DIAMatrix, from_csr, shift_read
+from gmres_tpu.parallel.partition import PartitionedCSR, padded_size, partition_rows
+from gmres_tpu.sparse import CSRMatrix
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data",),
+    meta_fields=("offsets", "n_shards", "rows_per_shard", "halo_left",
+                 "halo_right", "nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class HaloDIA:
+    """Row-partitioned DIA with neighbor-halo exchange."""
+
+    data: jax.Array            # (P, D, rows_per)
+    offsets: tuple[int, ...]   # global diagonal offsets
+    n_shards: int
+    rows_per_shard: int
+    halo_left: int
+    halo_right: int
+    nnz: int
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def vals(self) -> jax.Array:
+        return self.data.reshape(-1)
+
+    def astype(self, dtype) -> "HaloDIA":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("row_ptr", "col_idx", "row_ids", "vals"),
+    meta_fields=("n_shards", "rows_per_shard", "halo_left", "halo_right", "nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class HaloCSR:
+    """Row-partitioned CSR with columns rebased into the haloed window
+    ``[s*r - halo_left, (s+1)*r + halo_right)``."""
+
+    row_ptr: jax.Array  # (P, rows_per+1)
+    col_idx: jax.Array  # (P, K) — window-local indices
+    row_ids: jax.Array  # (P, K)
+    vals: jax.Array     # (P, K)
+    n_shards: int
+    rows_per_shard: int
+    halo_left: int
+    halo_right: int
+    nnz: int
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    def astype(self, dtype) -> "HaloCSR":
+        return dataclasses.replace(self, vals=self.vals.astype(dtype))
+
+
+def _round_up(v: int, mult: int = 128) -> int:
+    return max(mult, -(-v // mult) * mult)
+
+
+def partition_halo(A: CSRMatrix, n_shards: int):
+    """Partition A for halo exchange.  Returns HaloDIA (banded), HaloCSR
+    (irregular but neighbor-local), or None (fall back to allgather)."""
+    n = A.n_rows
+    n_pad = padded_size(n, n_shards)
+    r = n_pad // n_shards
+
+    dia = from_csr(A)
+    if dia is not None:
+        hl = max(0, -min(dia.offsets))
+        hr = max(0, max(dia.offsets))
+        if hl <= r and hr <= r:
+            data = np.asarray(dia.data)
+            if n_pad != n:
+                data = np.concatenate(
+                    [data, np.zeros((data.shape[0], n_pad - n), data.dtype)], axis=1
+                )
+            D = data.shape[0]
+            stacked = data.reshape(D, n_shards, r).transpose(1, 0, 2).copy()
+            return HaloDIA(
+                data=stacked,
+                offsets=dia.offsets,
+                n_shards=n_shards,
+                rows_per_shard=r,
+                halo_left=min(_round_up(hl), r) if hl else 0,
+                halo_right=min(_round_up(hr), r) if hr else 0,
+                nnz=A.nnz,
+            )
+
+    # irregular pattern: rebased CSR if all columns stay within one
+    # neighbor's range
+    part = partition_rows(A, n_shards)
+    cols = np.asarray(part.col_idx)
+    vals = np.asarray(part.vals)
+    base = np.arange(n_shards, dtype=np.int64)[:, None] * r
+    rel = cols.astype(np.int64) - base  # column relative to shard start
+    active = vals != 0
+    if not active.any():
+        return None
+    hl = int(np.maximum(0, -(rel[active].min())))
+    hr = int(np.maximum(0, rel[active].max() - (r - 1)))
+    if hl > r or hr > r:
+        return None
+    hl = min(_round_up(hl), r) if hl else 0
+    hr = min(_round_up(hr), r) if hr else 0
+    rebased = (rel + hl).astype(np.int32)
+    rebased[~active] = 0  # padding entries point anywhere in-window
+    return HaloCSR(
+        row_ptr=part.row_ptr,
+        col_idx=rebased,
+        row_ids=part.row_ids,
+        vals=part.vals,
+        n_shards=n_shards,
+        rows_per_shard=r,
+        halo_left=hl,
+        halo_right=hr,
+        nnz=A.nnz,
+    )
+
+
+def _exchange_halos(x_local: jax.Array, hl: int, hr: int, P: int, axis: str):
+    """Build [left_halo | x_local | right_halo] via neighbor ppermutes.
+    Boundary shards receive zeros (ppermute zero-fills missing sources),
+    matching out-of-range matrix entries which are structurally zero."""
+    parts = []
+    if hl:
+        # shard s receives the tail of shard s-1
+        left = jax.lax.ppermute(
+            x_local[-hl:], axis, [(s, s + 1) for s in range(P - 1)]
+        )
+        parts.append(left)
+    parts.append(x_local)
+    if hr:
+        # shard s receives the head of shard s+1
+        right = jax.lax.ppermute(
+            x_local[:hr], axis, [(s + 1, s) for s in range(P - 1)]
+        )
+        parts.append(right)
+    if len(parts) == 1:
+        return x_local
+    return jnp.concatenate(parts)
+
+
+def halo_spmv(A, x_local: jax.Array, axis: str) -> jax.Array:
+    """Local y = A_block @ x using neighbor halo exchange.  Called inside
+    shard_map; ``A`` leaves have a leading length-1 shard dim."""
+    P = A.n_shards
+    hl, hr = A.halo_left, A.halo_right
+    if isinstance(A, HaloDIA):
+        x_local = x_local.astype(A.data.dtype)
+        xx = _exchange_halos(x_local, hl, hr, P, axis)
+        data = A.data[0]  # (D, r)
+        r = A.rows_per_shard
+        y = jnp.zeros((r,), dtype=data.dtype)
+        for d, off in enumerate(A.offsets):
+            y = y + data[d] * shift_read(xx, off + hl, r)
+        return y
+    if isinstance(A, HaloCSR):
+        x_local = x_local.astype(A.vals.dtype)
+        xx = _exchange_halos(x_local, hl, hr, P, axis)
+        prod = A.vals[0] * xx[A.col_idx[0]]
+        return jax.ops.segment_sum(
+            prod, A.row_ids[0], num_segments=A.rows_per_shard,
+            indices_are_sorted=True,
+        )
+    raise TypeError(f"not a halo operator: {type(A)}")
