@@ -144,6 +144,11 @@ class GmresConfig:
     # Auto-select the fastest operator format (DIA for banded matrices,
     # CSR fallback) at solve setup.  Off: keep the caller's format.
     auto_format: bool = True
+    # When a low-precision inner loop produces non-finite residuals, retry
+    # the solve in uniform fp64 instead of diverging (the reference just
+    # diverges and records '-' rows — SURVEY.md §5.3; this is a documented
+    # improvement, off by default for behavior parity).
+    nan_fallback: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "orth", Orth(self.orth))

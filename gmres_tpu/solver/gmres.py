@@ -250,6 +250,8 @@ class GmresResult:
     prec_seconds: float = 0.0
     solve_seconds: float = 0.0
     history: list | None = None   # per-cycle (rel_initial, prec_rel0, k)
+    diverged: bool = False        # non-finite residual detected
+    fellback_to_fp64: bool = False
 
 
 def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
@@ -282,6 +284,8 @@ def solve(
     M=None,
     record_history: bool = False,
     progress=None,
+    reorder: str | None = None,
+    checkpoint=None,
 ) -> GmresResult:
     """Solve A x = b with restarted GMRES(m) under the configured precision
     staging, orthogonalization, preconditioner and restart policy.
@@ -290,10 +294,28 @@ def solve(
     preconditioner construction happen here, mirroring
     ``DoBaselineProblem``/``DoMixedPrecisionProblem``
     (``gmres_perf_test.cpp:53-182``).
+
+    ``reorder="rcm"`` applies a bandwidth-reducing symmetric permutation at
+    setup (solves the permuted system, returns the un-permuted solution) —
+    the TPU-native unlock for irregular sparsity (see ``ops/reorder.py``).
     """
     cfg = cfg or GmresConfig()
     out_dt = jnp.dtype(cfg.precision.outer)
     in_dt = cfg.precision.inner_dtype
+
+    perm = None
+    if reorder is not None:
+        if reorder != "rcm":
+            raise ValueError(f"unknown reorder {reorder!r}")
+        from gmres_tpu.ops.reorder import permute_symmetric, rcm_permutation
+
+        perm = rcm_permutation(A)
+        A = permute_symmetric(A, perm)
+        b = np.asarray(b)[perm]
+        if x0 is not None:
+            x0 = np.asarray(x0)[perm]
+        if M is not None:
+            raise ValueError("reorder with a prebuilt preconditioner is unsupported")
 
     t0 = time.perf_counter()
     A_out, A_in = prepare_operators(A, cfg)
@@ -320,32 +342,73 @@ def solve(
             cfg, A_out, A_in, M, b, x, b_norm, minvb_norm, a_norm, pstate
         )
 
-    result = drive_restarts(cycle_call, x, cfg, record_history, progress)
+    result = drive_restarts(cycle_call, x, cfg, record_history, progress,
+                            checkpoint=checkpoint)
     result.prec_seconds = prec_seconds
     result.solve_seconds = time.perf_counter() - t1
+
+    from gmres_tpu.config import PrecisionSpec as _PS
+
+    if result.diverged and cfg.nan_fallback and cfg.precision != _PS.from_mode("baseline"):
+        fb = solve(
+            A, np.asarray(b), cfg.with_(precision=_PS.from_mode("baseline")),
+            record_history=record_history, progress=progress,
+        )
+        fb.fellback_to_fp64 = True
+        fb.prec_seconds += prec_seconds
+        fb.solve_seconds += result.solve_seconds
+        result = fb
+
+    if perm is not None:
+        x_out = np.empty_like(np.asarray(result.x))
+        x_out[perm] = np.asarray(result.x)
+        result.x = jnp.asarray(x_out)
     return result
 
 
 def drive_restarts(
-    cycle_call, x, cfg: GmresConfig, record_history=False, progress=None
+    cycle_call, x, cfg: GmresConfig, record_history=False, progress=None,
+    checkpoint=None,
 ) -> GmresResult:
     """The host outer loop: one device sync per restart, implementing the
     reference's ``check_initial`` bookkeeping (restart counting / abort /
-    convergence — IterUtil.hpp:42-51 including the count-before-test quirk)."""
+    convergence — IterUtil.hpp:42-51 including the count-before-test quirk).
+
+    ``checkpoint`` (a ``utils.checkpoint.CheckpointSpec``) persists
+    (x, i, iters, policy state) every ``every`` restarts and resumes from
+    the file when present."""
+    import math
+
     pstate = initial_policy_state()
     history = [] if record_history else None
     total_iters = 0
+    resume_i = 0
+    if checkpoint is not None:
+        from gmres_tpu.utils import checkpoint as ckpt_mod
+
+        state = ckpt_mod.load(checkpoint.path)
+        if state is not None:
+            x_np, resume_i, total_iters, pstate = state
+            x = jnp.asarray(x_np, dtype=jnp.asarray(x).dtype)
     converged = False
     aborted = False
+    diverged = False
     rel_prec_res = float("nan")
     final_k = 0
-    i = 0
+    i = resume_i
     while True:
         if i + 1 > cfg.max_restarts:
             # check_initial counts the restart before testing (IterUtil.hpp:42-45)
             aborted = True
             break
         x, info = cycle_call(x, pstate)
+        if not math.isfinite(float(info.rel_initial)) or not math.isfinite(
+            float(info.beta)
+        ):
+            # low-precision inner loop blew up (SURVEY.md §5.3)
+            diverged = True
+            aborted = True
+            break
         if bool(info.converged0):
             converged = True
             rel_prec_res = float(info.prec_rel0)
@@ -368,6 +431,10 @@ def drive_restarts(
             progress(i, k, float(info.rel_initial))
         pstate = info.pstate
         i += 1
+        if checkpoint is not None and i % checkpoint.every == 0:
+            from gmres_tpu.utils import checkpoint as ckpt_mod
+
+            ckpt_mod.save(checkpoint.path, x, i, total_iters, pstate)
 
     return GmresResult(
         x=x,
@@ -378,4 +445,5 @@ def drive_restarts(
         final_k=final_k,
         rel_prec_res=rel_prec_res,
         history=history,
+        diverged=diverged,
     )

@@ -1,0 +1,146 @@
+"""Auxiliary subsystem tests: RCM reordering, NaN fallback,
+checkpoint/resume, profiling utilities (SURVEY.md §5)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gmres_tpu import GmresConfig, PrecisionSpec, solve
+from gmres_tpu.io.rng import rand_vect
+from gmres_tpu.io.synth import convection_diffusion_2d, poisson_2d
+from gmres_tpu.ops.dia import from_csr
+from gmres_tpu.ops.reorder import bandwidth, permute_symmetric, rcm_permutation
+from gmres_tpu.ops.spmv import spmv
+from gmres_tpu.sparse import csr_from_coo
+from gmres_tpu.utils.checkpoint import CheckpointSpec, load, save
+from gmres_tpu.utils.profiling import PhaseTimers, solve_metrics
+
+
+def shuffled_poisson(nx, seed=0):
+    """A Poisson matrix under a random symmetric permutation — banded
+    structure destroyed, recoverable by RCM."""
+    A = poisson_2d(nx)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(A.n_rows).astype(np.int64)
+    return permute_symmetric(A, perm)
+
+
+def test_rcm_recovers_bandedness():
+    A = shuffled_poisson(12)
+    assert from_csr(A) is None  # scrambled: not DIA-able
+    perm = rcm_permutation(A)
+    B = permute_symmetric(A, perm)
+    assert bandwidth(B) < bandwidth(A) / 3
+    assert from_csr(B, max_fill=6.0) is not None or bandwidth(B) <= 30
+
+
+def test_solve_with_rcm_reorder():
+    A = shuffled_poisson(10)
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("mixed"),
+        orth="cgs",
+        precond="jacobi",
+        restart_length=20,
+        tol=1e-9,
+        max_restarts=1000,
+    )
+    res = solve(A, b, cfg, reorder="rcm")
+    assert res.converged
+    # solution is returned in the ORIGINAL ordering
+    err = np.linalg.norm(np.asarray(res.x) - x_true)
+    assert err < 1e-4
+
+
+def test_permute_symmetric_roundtrip():
+    A = convection_diffusion_2d(6)
+    perm = np.random.default_rng(1).permutation(A.n_rows).astype(np.int64)
+    B = permute_symmetric(A, perm)
+    Ad, Bd = A.to_dense(), B.to_dense()
+    np.testing.assert_allclose(Bd, Ad[np.ix_(perm, perm)], rtol=1e-14)
+
+
+def test_nan_fallback():
+    # a matrix whose fp32 assembly overflows: values near f32 max make the
+    # inner f32 loop produce inf immediately
+    n = 32
+    big = 3e38
+    rows = np.arange(n)
+    A = csr_from_coo(rows, rows, np.full(n, big), n_rows=n)
+    b = np.full(n, 1.0)
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("mixed"),
+        precond="identity",
+        restart_length=5,
+        tol=1e-10,
+        max_restarts=50,
+        nan_fallback=True,
+        auto_format=False,
+    )
+    res = solve(A, b, cfg)
+    assert res.fellback_to_fp64
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), 1.0 / big, rtol=1e-12)
+
+    # without fallback: diverged result reported as data (reference behavior)
+    res2 = solve(A, b, cfg.with_(nan_fallback=False))
+    assert res2.diverged and not res2.converged
+
+
+def test_checkpoint_save_load(tmp_path):
+    from gmres_tpu.solver.policies import initial_policy_state
+
+    p = str(tmp_path / "state.ckpt")
+    x = np.arange(8.0)
+    save(p, x, 3, 90, initial_policy_state())
+    x2, i, iters, ps = load(p)
+    np.testing.assert_array_equal(x2, x)
+    assert (i, iters) == (3, 90)
+    assert load(str(tmp_path / "missing.ckpt")) is None
+
+
+def test_checkpoint_resume_solve(tmp_path):
+    A = poisson_2d(14)
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("baseline"),
+        precond="identity",
+        restart_length=10,
+        tol=1e-8,
+        max_restarts=1000,
+    )
+    full = solve(A, b, cfg)
+    assert full.converged and full.restarts >= 2
+
+    # run with a budget that aborts partway, checkpointing every restart
+    ck = CheckpointSpec(path=str(tmp_path / "s.ckpt"), every=1)
+    partial_cfg = cfg.with_(max_restarts=2)
+    part = solve(A, b, partial_cfg, checkpoint=ck)
+    assert part.aborted
+
+    # resume: picks up the checkpoint and finishes
+    res = solve(A, b, cfg, checkpoint=ck)
+    assert res.converged
+    # total restarts (resume counter) matches the uninterrupted run
+    assert res.restarts == full.restarts
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(full.x), rtol=1e-10)
+
+
+def test_profiling_utils():
+    t = PhaseTimers()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert "a" in t.as_dict() and t.as_dict()["a"] >= 0
+
+    class R:
+        total_iters = 100
+        restarts = 10
+        converged = True
+        solve_seconds = 2.0
+        prec_seconds = 0.5
+
+    m = solve_metrics(R(), nnz=1000)
+    assert m["spmv_nnz_per_s"] == 100 * 1000 / 2.0
