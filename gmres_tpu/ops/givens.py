@@ -32,6 +32,25 @@ def rotg(a: jax.Array, b: jax.Array):
     return r, c, s
 
 
+def accumulate_rotation(Q: jax.Array, k, c, s) -> jax.Array:
+    """Q <- G(k, k+1; c, s) @ Q — fold a new plane rotation into the
+    accumulated orthogonal transform.
+
+    The solver carries ``Q = G_{k-1} ... G_0`` instead of (cs, sn, s)
+    because applying k stored rotations sequentially is O(k) *dependent
+    scalar updates*; on TPU each tiny op costs fixed overhead (measured
+    ~1 ms per emulated-fp64 scalar op), which made the reference's
+    per-iteration ``rot`` sweep (``gmres.cpp:108``) dominate the whole
+    cycle.  With Q the sweep becomes one (m+1, m+1) matvec and this
+    two-row update, and the Givens right-hand side is free:
+    ``s = beta * Q[:, 0]`` (since s = Q @ (beta e1)).
+    """
+    qk = jax.lax.dynamic_index_in_dim(Q, k, axis=0, keepdims=False)
+    qk1 = jax.lax.dynamic_index_in_dim(Q, k + 1, axis=0, keepdims=False)
+    Q = jax.lax.dynamic_update_index_in_dim(Q, c * qk + s * qk1, k, axis=0)
+    return jax.lax.dynamic_update_index_in_dim(Q, c * qk1 - s * qk, k + 1, axis=0)
+
+
 def apply_rotations(h: jax.Array, cs: jax.Array, sn: jax.Array, k) -> jax.Array:
     """Apply the k stored rotations (j = 0..k-1) to the new Hessenberg
     column prefix — the reference's vector-``rot`` call (``gmres.cpp:108``;

@@ -41,7 +41,7 @@ import numpy as np
 
 from gmres_tpu.config import GmresConfig, Orth, RestartPolicy
 from gmres_tpu.ops.blas import nrm2
-from gmres_tpu.ops.givens import apply_rotations, rotg
+from gmres_tpu.ops.givens import accumulate_rotation, rotg
 from gmres_tpu.ops.orth import orthogonalize, _masked_gram
 from gmres_tpu.ops.spmv import spmv
 from gmres_tpu.ops.tri import trsv_upper_padded
@@ -79,14 +79,14 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
     V0 = jnp.zeros((m + 1, n_local), dtype=in_dt)
     v0 = jnp.where(beta != 0, w0 / beta, jnp.zeros_like(w0))
     V0 = V0.at[0].set(v0)
-    s0 = jnp.zeros((m + 1,), dtype=in_dt).at[0].set(beta)
     H0 = jnp.zeros((m + 1, m), dtype=in_dt)
-    cs0 = jnp.zeros((m + 1,), dtype=in_dt)
-    sn0 = jnp.zeros((m + 1,), dtype=in_dt)
+    # Accumulated rotation product Q = G_{k-1}...G_0 (see
+    # ops/givens.py:accumulate_rotation); the Givens RHS is s = beta*Q[:,0].
+    Q0 = jnp.eye(m + 1, dtype=in_dt)
     S0 = jnp.zeros((m + 1, m + 1), dtype=in_dt) if orthloss else jnp.zeros((1, 1), in_dt)
 
     carry0 = dict(
-        V=V0, H=H0, cs=cs0, sn=sn0, s=s0, S=S0,
+        V=V0, H=H0, Q=Q0, S=S0,
         k=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
         loss_sq=jnp.asarray(0.0, _f64),
@@ -96,7 +96,7 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         return ~c["done"]
 
     def body(c):
-        V, H, cs, sn, s = c["V"], c["H"], c["cs"], c["sn"], c["s"]
+        V, H, Q = c["V"], c["H"], c["Q"]
         k = c["k"]
 
         v_k = jax.lax.dynamic_index_in_dim(V, k, axis=0, keepdims=False)
@@ -112,18 +112,21 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         v_next = jnp.where(h_next != 0, w / h_next, jnp.zeros_like(w))
         V = jax.lax.dynamic_update_index_in_dim(V, v_next, k + 1, axis=0)
 
+        # Apply all k previous rotations at once (rows > k of Q are still
+        # identity, so hhat[k+1] = h_next), then generate + fold in the new
+        # rotation (gmres.cpp:106-110, vectorized).
         h_col = h_col.at[k + 1].set(h_next)
-        h_col = apply_rotations(h_col, cs, sn, k)
-        r_, c_, s_ = rotg(h_col[k], h_col[k + 1])
-        h_col = h_col.at[k].set(r_).at[k + 1].set(0)
-        cs = cs.at[k].set(c_)
-        sn = sn.at[k].set(s_)
-        sk = s[k]
-        s = s.at[k].set(c_ * sk).at[k + 1].set(-s_ * sk)
-        H = jax.lax.dynamic_update_slice(H, h_col[:, None], (jnp.int32(0), k))
+        hhat = jnp.matmul(Q, h_col, precision=_HI)
+        r_, c_, s_ = rotg(hhat[k], hhat[k + 1])
+        hhat = hhat.at[k].set(r_).at[k + 1].set(0)
+        Q = accumulate_rotation(Q, k, c_, s_)
+        H = jax.lax.dynamic_update_slice(
+            H, hhat[:, None], (jnp.zeros((), k.dtype), k)
+        )
 
         k1 = k + 1
-        arnoldi = jnp.abs(s[k1]).astype(_f64)
+        # |s(k+1)| with s = Q @ (beta e1)
+        arnoldi = jnp.abs(beta * Q[k1, 0]).astype(_f64)
 
         # --- restart policy (IterUtil.hpp check()) ---
         restart = cfg.m <= k1
@@ -147,7 +150,7 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
             loss_sq = loss_sq + jnp.dot(s_col, s_col, precision=_HI).astype(_f64)
             restart = restart | (loss_sq >= cfg.restart_improvement**2)
 
-        return dict(V=V, H=H, cs=cs, sn=sn, s=s, S=S, k=k1,
+        return dict(V=V, H=H, Q=Q, S=S, k=k1,
                     done=restart, loss_sq=loss_sq)
 
     final = jax.lax.while_loop(cond, body, carry0)
@@ -193,10 +196,12 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
         k_fin = final["k"]
         # solution_update (gmres.cpp:276-303): y = H[:k,:k]^{-1} s[:k];
         # x += V[:,:k] y, promoted to the outer dtype in mixed mode.
-        y = trsv_upper_padded(final["H"][:m, :m], final["s"][:m], k_fin)
+        # s = Q @ (beta e1) (ops/givens.py:accumulate_rotation).
+        s_fin = beta * final["Q"][:, 0]
+        y = trsv_upper_padded(final["H"][:m, :m], s_fin[:m], k_fin)
         x_inc = jnp.matmul(y, final["V"][:m], precision=_HI)
         x_new = x + x_inc.astype(out_dt)
-        arnoldi_final = jnp.abs(final["s"][jnp.minimum(k_fin, m)]).astype(_f64)
+        arnoldi_final = jnp.abs(s_fin[jnp.minimum(k_fin, m)]).astype(_f64)
         new_pstate = PolicyState(
             is_first=jnp.asarray(False),
             second_restart_length=jnp.where(
@@ -272,7 +277,14 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
     out_dt = jnp.dtype(cfg.precision.outer)
     in_dt = cfg.precision.inner_dtype
     A_in = A.astype(in_dt)
-    A_out = A_in if out_dt == in_dt else A.astype(out_dt)
+    same = out_dt == in_dt
+    A_out = A_in if same else A.astype(out_dt)
+    # Commit the staged operators to the device ONCE (the reference's
+    # host->device deep_copy boundary, types_cuda.hpp:103-114).  Construction
+    # keeps numpy-backed pytrees for host-side setup work; without this the
+    # jitted cycle re-uploads the whole matrix on every call.
+    A_in = jax.device_put(A_in)
+    A_out = A_in if same else jax.device_put(A_out)
     return A_out, A_in
 
 
@@ -325,6 +337,7 @@ def solve(
         from gmres_tpu.precond.build import optimize_precond_format
 
         M = optimize_precond_format(M)
+    M = jax.device_put(M)  # one upload, not one per jitted cycle call
     prec_seconds = time.perf_counter() - t0
 
     b = jnp.asarray(b, dtype=out_dt)
