@@ -139,6 +139,11 @@ class GmresConfig:
     max_restarts: int = 1_000_000
     # Name of the mesh axis rows are sharded over, or None for single-device.
     axis_name: str | None = None
+    # Restart cycles executed per host synchronization: the device runs up
+    # to this many restarts in one dispatch (lax.while_loop) before the host
+    # fetches progress.  Higher = less dispatch latency; history/progress
+    # granularity is unaffected (per-cycle info is returned in arrays).
+    host_sync_every: int = 16
     # Use the fused Pallas kernels on TPU for the hot ops (SpMV etc.).
     use_pallas: bool = True
     # Auto-select the fastest operator format (DIA for banded matrices,

@@ -97,12 +97,12 @@ def from_csr(A: CSRMatrix, max_fill: float = 3.0, max_diags: int = 256) -> DIAMa
     if D > max_diags or D * n > max_fill * max(nnz, 1):
         return None
 
-    data = np.zeros((D, n), dtype=v.dtype)
-    dmap = {int(o): i for i, o in enumerate(uniq)}
     d_idx = np.searchsorted(uniq, offs)
     # duplicates on the same (row, col) sum, matching SpMV semantics of
-    # duplicate CSR entries
-    np.add.at(data, (d_idx, rows), v)
+    # duplicate CSR entries (bincount ~10x faster than np.add.at here)
+    data = np.bincount(d_idx * n + rows, weights=v, minlength=D * n).reshape(
+        D, n
+    ).astype(v.dtype)
     return DIAMatrix(
         data=data,
         offsets=tuple(int(o) for o in uniq),

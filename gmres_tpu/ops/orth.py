@@ -28,10 +28,15 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _masked_gram(V: jax.Array, w: jax.Array, k, axis_name):
-    """u[j] = <v_j, w> for j <= k, 0 elsewhere.  One psum when sharded."""
+    """u[j] = <v_j, w> for j <= k, 0 elsewhere.  One psum when sharded.
+
+    Formulated as an elementwise product + lane reduction (VPU) rather than
+    a matmul: the (m+1, n) basis matvec is MXU-hostile (1-column operand)
+    and the elementwise form keeps true fp32/fp64 accumulation semantics.
+    """
     m1 = V.shape[0]
     mask = jnp.arange(m1) <= k
-    u = jnp.matmul(V, w, precision=_HI)
+    u = jnp.sum(V * w[None, :], axis=1)
     u = jnp.where(mask, u, 0)
     if axis_name is not None:
         u = jax.lax.psum(u, axis_name)
@@ -41,7 +46,7 @@ def _masked_gram(V: jax.Array, w: jax.Array, k, axis_name):
 def cgs(V, k, w, axis_name=None):
     """Classical Gram-Schmidt (``Orthogonalization.hpp:76-89``)."""
     u = _masked_gram(V, w, k, axis_name)
-    w = w - jnp.matmul(u, V, precision=_HI)
+    w = w - jnp.sum(u[:, None] * V, axis=0)
     return u, w
 
 

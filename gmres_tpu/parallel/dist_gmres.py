@@ -38,6 +38,7 @@ from gmres_tpu.parallel.partition import (
 )
 from gmres_tpu.solver.gmres import (
     GmresResult,
+    chunk_while,
     drive_restarts,
     prepare_operators,
     restart_cycle_impl,
@@ -151,7 +152,17 @@ def make_distributed_cycle(cfg: GmresConfig, mesh: Mesh):
         in_specs=(sharded, sharded, sharded, sharded, sharded, repl, repl, repl, repl),
         out_specs=(sharded, repl),
     )
-    return jax.jit(fn), cfg
+
+    # Chunked driver: up to `chunk` restarts per dispatch (chunk_while), the
+    # shard_map'd cycle inside the device-side while_loop.
+    @partial(jax.jit, static_argnums=(0,))
+    def chunked(chunk, Ao, Ai, M, b, x, b_norm, minvb_norm, a_norm, pstate):
+        return chunk_while(
+            lambda xx, ps: fn(Ao, Ai, M, b, xx, b_norm, minvb_norm, a_norm, ps),
+            chunk, x, pstate,
+        )
+
+    return chunked, cfg
 
 
 def solve_distributed(
@@ -204,12 +215,12 @@ def solve_distributed(
         x = jax.device_put(pad_vector(np.asarray(x0, dtype=out_dt), n_shards), shard0)
 
     cycle, dist_cfg = make_distributed_cycle(cfg, mesh)
-    pstate0 = initial_policy_state()
 
-    def cycle_call(x, pstate):
-        return cycle(Ao_p, Ai_p, M_p, b_pad, x, b_norm, minvb_norm, a_norm, pstate)
+    def chunk_call(x, pstate, chunk):
+        return cycle(chunk, Ao_p, Ai_p, M_p, b_pad, x, b_norm, minvb_norm,
+                     a_norm, pstate)
 
-    result = drive_restarts(cycle_call, x, dist_cfg, record_history, progress)
+    result = drive_restarts(chunk_call, x, dist_cfg, record_history, progress)
     result.prec_seconds = prec_seconds
     result.solve_seconds = time.perf_counter() - t1
     result.x = result.x[:n]

@@ -241,6 +241,89 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
 _restart_cycle = partial(jax.jit, static_argnums=(0,))(restart_cycle_impl)
 
 
+class ChunkInfo(NamedTuple):
+    """Per-chunk result of ``multi_cycle_impl``: everything the host loop
+    needs, fetched in ONE transfer per ``cfg.host_sync_every`` restarts."""
+
+    n_run: jax.Array          # i32: cycles executed this chunk (incl. final)
+    converged: jax.Array      # bool
+    diverged: jax.Array       # bool: non-finite residual seen
+    rel_initial: jax.Array    # (chunk,) f64 per-cycle
+    prec_rel0: jax.Array      # (chunk,) f64
+    k_final: jax.Array        # (chunk,) i32
+    arnoldi_final: jax.Array  # (chunk,) f64
+    pstate: PolicyState
+
+
+def chunk_while(cycle_fn, chunk: int, x, pstate: PolicyState):
+    """Run up to ``chunk`` restart cycles on device (the reference only
+    tests convergence at restart boundaries, IterUtil.hpp:42-51, so the
+    whole outer loop is a device-side while_loop; the host syncs once per
+    chunk instead of once per restart — remote-device dispatch latency
+    would otherwise dominate the solve).
+
+    ``cycle_fn(x, pstate) -> (x, CycleInfo)`` must be traceable; both the
+    single-device cycle and the shard_map'd distributed cycle qualify.
+    """
+
+    def cond(c):
+        return (~c["stop"]) & (c["j"] < chunk)
+
+    def body(c):
+        j = c["j"]
+        x_new, info = cycle_fn(c["x"], c["pstate"])
+        finite = jnp.isfinite(info.rel_initial) & jnp.isfinite(info.beta)
+        return dict(
+            x=x_new,
+            pstate=info.pstate,
+            j=j + 1,
+            stop=info.converged0 | ~finite,
+            converged=info.converged0,
+            diverged=~finite,
+            rel_initial=c["rel_initial"].at[j].set(info.rel_initial),
+            prec_rel0=c["prec_rel0"].at[j].set(info.prec_rel0),
+            k_final=c["k_final"].at[j].set(info.k_final),
+            arnoldi_final=c["arnoldi_final"].at[j].set(info.arnoldi_final),
+        )
+
+    carry0 = dict(
+        x=x,
+        pstate=pstate,
+        j=jnp.asarray(0, jnp.int32),
+        stop=jnp.asarray(False),
+        converged=jnp.asarray(False),
+        diverged=jnp.asarray(False),
+        rel_initial=jnp.zeros((chunk,), _f64),
+        prec_rel0=jnp.zeros((chunk,), _f64),
+        k_final=jnp.zeros((chunk,), jnp.int32),
+        arnoldi_final=jnp.zeros((chunk,), _f64),
+    )
+    fin = jax.lax.while_loop(cond, body, carry0)
+    return fin["x"], ChunkInfo(
+        n_run=fin["j"],
+        converged=fin["converged"],
+        diverged=fin["diverged"],
+        rel_initial=fin["rel_initial"],
+        prec_rel0=fin["prec_rel0"],
+        k_final=fin["k_final"],
+        arnoldi_final=fin["arnoldi_final"],
+        pstate=fin["pstate"],
+    )
+
+
+def multi_cycle_impl(cfg: GmresConfig, chunk: int, A_out, A_in, M, b, x,
+                     b_norm, minvb_norm, a_norm, pstate: PolicyState):
+    return chunk_while(
+        lambda xx, ps: restart_cycle_impl(
+            cfg, A_out, A_in, M, b, xx, b_norm, minvb_norm, a_norm, ps
+        ),
+        chunk, x, pstate,
+    )
+
+
+_multi_cycle = partial(jax.jit, static_argnums=(0, 1))(multi_cycle_impl)
+
+
 @dataclasses.dataclass
 class GmresResult:
     x: jax.Array
@@ -350,12 +433,13 @@ def solve(
     minvb_norm = nrm2(minvb).astype(_f64)
     a_norm = nrm2(A_in.vals).astype(_f64)  # Frobenius norm of inner-dtype values
 
-    def cycle_call(x, pstate):
-        return _restart_cycle(
-            cfg, A_out, A_in, M, b, x, b_norm, minvb_norm, a_norm, pstate
+    def chunk_call(x, pstate, chunk):
+        return _multi_cycle(
+            cfg, chunk, A_out, A_in, M, b, x, b_norm, minvb_norm, a_norm,
+            pstate
         )
 
-    result = drive_restarts(cycle_call, x, cfg, record_history, progress,
+    result = drive_restarts(chunk_call, x, cfg, record_history, progress,
                             checkpoint=checkpoint)
     result.prec_seconds = prec_seconds
     result.solve_seconds = time.perf_counter() - t1
@@ -380,16 +464,21 @@ def solve(
 
 
 def drive_restarts(
-    cycle_call, x, cfg: GmresConfig, record_history=False, progress=None,
+    chunk_call, x, cfg: GmresConfig, record_history=False, progress=None,
     checkpoint=None,
 ) -> GmresResult:
-    """The host outer loop: one device sync per restart, implementing the
-    reference's ``check_initial`` bookkeeping (restart counting / abort /
-    convergence — IterUtil.hpp:42-51 including the count-before-test quirk).
+    """The host outer loop, implementing the reference's ``check_initial``
+    bookkeeping (restart counting / abort / convergence — IterUtil.hpp:42-51
+    including the count-before-test quirk).
+
+    ``chunk_call(x, pstate, chunk)`` runs up to ``chunk`` restart cycles on
+    device (``chunk_while``) and returns ``(x, ChunkInfo)``; the host syncs
+    once per ``cfg.host_sync_every`` restarts, then replays the per-cycle
+    info arrays for history/abort/convergence bookkeeping.
 
     ``checkpoint`` (a ``utils.checkpoint.CheckpointSpec``) persists
-    (x, i, iters, policy state) every ``every`` restarts and resumes from
-    the file when present."""
+    (x, i, iters, policy state) roughly every ``every`` restarts (rounded to
+    chunk boundaries) and resumes from the file when present."""
     import math
 
     pstate = initial_policy_state()
@@ -409,42 +498,58 @@ def drive_restarts(
     rel_prec_res = float("nan")
     final_k = 0
     i = resume_i
-    while True:
+    stop = False
+    while not stop:
         if i + 1 > cfg.max_restarts:
             # check_initial counts the restart before testing (IterUtil.hpp:42-45)
             aborted = True
             break
-        x, info = cycle_call(x, pstate)
-        if not math.isfinite(float(info.rel_initial)) or not math.isfinite(
-            float(info.beta)
-        ):
-            # low-precision inner loop blew up (SURVEY.md §5.3)
-            diverged = True
-            aborted = True
-            break
-        if bool(info.converged0):
-            converged = True
-            rel_prec_res = float(info.prec_rel0)
-            final_k = 0
+        chunk = min(cfg.host_sync_every, cfg.max_restarts - i)
+        x, info = chunk_call(x, pstate, chunk)
+        pstate = info.pstate  # stays on device for the next chunk
+        # ONE device fetch per chunk (separate float()/bool() reads each
+        # cost a full round trip over remote-device transports).
+        n_run, conv, div, rels, precs, ks, arns = jax.device_get(
+            (info.n_run, info.converged, info.diverged, info.rel_initial,
+             info.prec_rel0, info.k_final, info.arnoldi_final)
+        )
+        n_run = int(n_run)
+        for j in range(n_run):
+            last = j == n_run - 1
+            if last and bool(div):
+                # low-precision inner loop blew up (SURVEY.md §5.3)
+                diverged = True
+                aborted = True
+                stop = True
+                break
+            if last and bool(conv):
+                converged = True
+                rel_prec_res = float(precs[j])
+                final_k = 0
+                if record_history:
+                    history.append(
+                        dict(i=i, k=0, rel_initial=float(rels[j]),
+                             prec_rel0=float(precs[j]))
+                    )
+                stop = True
+                break
+            k = int(ks[j])
+            total_iters += k
             if record_history:
                 history.append(
-                    dict(i=i, k=0, rel_initial=float(info.rel_initial),
-                         prec_rel0=float(info.prec_rel0))
+                    dict(i=i, k=k, rel_initial=float(rels[j]),
+                         prec_rel0=float(precs[j]),
+                         arnoldi_final=float(arns[j]))
                 )
-            break
-        k = int(info.k_final)
-        total_iters += k
-        if record_history:
-            history.append(
-                dict(i=i, k=k, rel_initial=float(info.rel_initial),
-                     prec_rel0=float(info.prec_rel0),
-                     arnoldi_final=float(info.arnoldi_final))
-            )
-        if progress is not None:
-            progress(i, k, float(info.rel_initial))
-        pstate = info.pstate
-        i += 1
-        if checkpoint is not None and i % checkpoint.every == 0:
+            if progress is not None:
+                progress(i, k, float(rels[j]))
+            i += 1
+        if (
+            checkpoint is not None
+            and not stop
+            and i > resume_i
+            and (i % checkpoint.every) < cfg.host_sync_every
+        ):
             from gmres_tpu.utils import checkpoint as ckpt_mod
 
             ckpt_mod.save(checkpoint.path, x, i, total_iters, pstate)
