@@ -18,28 +18,32 @@ from functools import partial
 
 
 def device_loop(fn, reps: int):
-    """Chain fn reps times on device so host dispatch amortizes."""
+    """Chain fn reps times on device so host dispatch amortizes.  Returns a
+    SCALAR checksum: fetching a concrete value is the only reliable
+    completion barrier on remote-device transports (block_until_ready can
+    return before the computation drains there)."""
     import jax
+    import jax.numpy as jnp
 
     @partial(jax.jit, static_argnums=())
     def run(*args):
         def body(i, a):
             return fn(*a)
 
-        return jax.lax.fori_loop(0, reps, body, args)
+        out = jax.lax.fori_loop(0, reps, body, args)
+        leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+        return sum(jnp.sum(x[..., :1].astype(jnp.float32)) for x in leaves)
 
     return run
 
 
 def time_op(run, args, reps: int, warmup: int = 1) -> float:
-    import jax
+    import numpy as np
 
     for _ in range(warmup):
-        out = run(*args)
-        jax.block_until_ready(out)
+        float(np.asarray(run(*args)))
     t0 = time.perf_counter()
-    out = run(*args)
-    jax.block_until_ready(out)
+    float(np.asarray(run(*args)))
     return (time.perf_counter() - t0) / reps
 
 
