@@ -92,12 +92,21 @@ def from_csr(A: CSRMatrix, max_fill: float = 3.0, max_diags: int = 256) -> DIAMa
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
 
     offs = ci - rows
-    uniq = np.unique(offs)
+    # bounded-range unique via a presence bitmap: O(nnz + n), no sort
+    # (np.unique's sort over nnz int64 was the setup bottleneck)
+    off_min = int(offs.min())
+    off_max = int(offs.max())
+    span = off_max - off_min + 1
+    present = np.zeros(span, dtype=bool)
+    present[offs - off_min] = True
+    uniq = np.flatnonzero(present) + off_min
     D = uniq.shape[0]
     if D > max_diags or D * n > max_fill * max(nnz, 1):
         return None
 
-    d_idx = np.searchsorted(uniq, offs)
+    lookup = np.zeros(span, dtype=np.int64)
+    lookup[uniq - off_min] = np.arange(D)
+    d_idx = lookup[offs - off_min]
     # duplicates on the same (row, col) sum, matching SpMV semantics of
     # duplicate CSR entries (bincount ~10x faster than np.add.at here)
     data = np.bincount(d_idx * n + rows, weights=v, minlength=D * n).reshape(

@@ -27,25 +27,33 @@ from gmres_tpu.ops.blas import dot
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _masked_gram(V: jax.Array, w: jax.Array, k, axis_name):
+def _masked_gram(V: jax.Array, w: jax.Array, k, axis_name, mask=True):
     """u[j] = <v_j, w> for j <= k, 0 elsewhere.  One psum when sharded.
 
     Formulated as an elementwise product + lane reduction (VPU) rather than
     a matmul: the (m+1, n) basis matvec is MXU-hostile (1-column operand)
     and the elementwise form keeps true fp32/fp64 accumulation semantics.
+
+    ``mask=False`` skips the explicit j<=k masking — valid whenever the
+    basis rows beyond k are still zero (true inside the Arnoldi loop, where
+    row k+1 is written only after orthogonalization; every in-loop op has
+    a measurable fixed cost on TPU, so dead ops matter).  The orth-loss
+    recurrence reads V *after* the row write and must keep the mask.
     """
-    m1 = V.shape[0]
-    mask = jnp.arange(m1) <= k
     u = jnp.sum(V * w[None, :], axis=1)
-    u = jnp.where(mask, u, 0)
+    if mask:
+        u = jnp.where(jnp.arange(V.shape[0]) <= k, u, 0)
     if axis_name is not None:
         u = jax.lax.psum(u, axis_name)
     return u
 
 
-def cgs(V, k, w, axis_name=None):
-    """Classical Gram-Schmidt (``Orthogonalization.hpp:76-89``)."""
-    u = _masked_gram(V, w, k, axis_name)
+def cgs(V, k, w, axis_name=None, assume_zero_tail=False):
+    """Classical Gram-Schmidt (``Orthogonalization.hpp:76-89``).
+
+    ``assume_zero_tail=True`` skips the j<=k masking; only valid when rows
+    k+1..m of V are zero (the Arnoldi-loop invariant)."""
+    u = _masked_gram(V, w, k, axis_name, mask=not assume_zero_tail)
     w = w - jnp.sum(u[:, None] * V, axis=0)
     return u, w
 
@@ -67,20 +75,21 @@ def mgs(V, k, w, axis_name=None):
     return h, w
 
 
-def cgsr(V, k, w, axis_name=None, orth_steps: int = 2):
+def cgsr(V, k, w, axis_name=None, orth_steps: int = 2, assume_zero_tail=False):
     """CGS with re-orthogonalization (``Orthogonalization.hpp:109-136``)."""
-    h, w = cgs(V, k, w, axis_name)
+    h, w = cgs(V, k, w, axis_name, assume_zero_tail)
     for _ in range(orth_steps - 1):
-        u, w = cgs(V, k, w, axis_name)
+        u, w = cgs(V, k, w, axis_name, assume_zero_tail)
         h = h + u
     return h, w
 
 
-def orthogonalize(kind: str, V, k, w, axis_name=None, orth_steps: int = 2):
+def orthogonalize(kind: str, V, k, w, axis_name=None, orth_steps: int = 2,
+                  assume_zero_tail=False):
     if kind == "cgs":
-        return cgs(V, k, w, axis_name)
+        return cgs(V, k, w, axis_name, assume_zero_tail)
     if kind == "mgs":
         return mgs(V, k, w, axis_name)
     if kind == "cgsr":
-        return cgsr(V, k, w, axis_name, orth_steps)
+        return cgsr(V, k, w, axis_name, orth_steps, assume_zero_tail)
     raise ValueError(f"unknown orthogonalization {kind!r}")

@@ -75,6 +75,13 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
     in_dt = cfg.precision.inner_dtype
     m = cfg.m
     orthloss = cfg.policy == RestartPolicy.LOST_ORTHOGONALITY
+    # FIXED policy never exits the cycle early (IterUtil.hpp:57-65 just
+    # counts to restart_length), so its inner loop has a static trip count
+    # and can be UNROLLED: every dynamic index becomes static, the ~10
+    # small Givens/bookkeeping ops per iteration fuse across iterations,
+    # and the per-op fixed cost (measured ~0.1-0.2 ms per op inside
+    # rolled device loops here) disappears.
+    fixed_fast = cfg.policy == RestartPolicy.FIXED
 
     V0 = jnp.zeros((m + 1, n_local), dtype=in_dt)
     v0 = jnp.where(beta != 0, w0 / beta, jnp.zeros_like(w0))
@@ -103,7 +110,8 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         w = spmv(A_in, v_k, axis)
         w = typesafe_apply(M, w, axis)
 
-        h_col, w = orthogonalize(cfg.orth.value, V, k, w, axis, cfg.orth_steps)
+        h_col, w = orthogonalize(cfg.orth.value, V, k, w, axis, cfg.orth_steps,
+                                 assume_zero_tail=True)
 
         h_next = nrm2(w, axis)
         # The reference divides unconditionally (Orthogonalization.hpp:59 —
@@ -112,10 +120,11 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         v_next = jnp.where(h_next != 0, w / h_next, jnp.zeros_like(w))
         V = jax.lax.dynamic_update_index_in_dim(V, v_next, k + 1, axis=0)
 
-        # Apply all k previous rotations at once (rows > k of Q are still
-        # identity, so hhat[k+1] = h_next), then generate + fold in the new
-        # rotation (gmres.cpp:106-110, vectorized).
         h_col = h_col.at[k + 1].set(h_next)
+        k1 = k + 1
+        # Apply all k previous rotations at once (rows > k of Q are
+        # still identity, so hhat[k+1] = h_next), then generate + fold
+        # in the new rotation (gmres.cpp:106-110, vectorized).
         hhat = jnp.matmul(Q, h_col, precision=_HI)
         r_, c_, s_ = rotg(hhat[k], hhat[k + 1])
         hhat = hhat.at[k].set(r_).at[k + 1].set(0)
@@ -123,8 +132,6 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         H = jax.lax.dynamic_update_slice(
             H, hhat[:, None], (jnp.zeros((), k.dtype), k)
         )
-
-        k1 = k + 1
         # |s(k+1)| with s = Q @ (beta e1)
         arnoldi = jnp.abs(beta * Q[k1, 0]).astype(_f64)
 
@@ -153,7 +160,17 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         return dict(V=V, H=H, Q=Q, S=S, k=k1,
                     done=restart, loss_sq=loss_sq)
 
-    final = jax.lax.while_loop(cond, body, carry0)
+    if fixed_fast:
+        # static trip count -> unrolled scan: dynamic indices become
+        # static, small ops fuse across iterations.  Only worth the
+        # compile-time cost where per-op dispatch overhead is real (TPU);
+        # CPU (tests) keeps the rolled loop.
+        unroll = jax.default_backend() == "tpu"
+        final = jax.lax.fori_loop(
+            0, m, lambda i, c: body(c), carry0, unroll=unroll
+        )
+    else:
+        final = jax.lax.while_loop(cond, body, carry0)
     return final
 
 
@@ -324,6 +341,16 @@ def multi_cycle_impl(cfg: GmresConfig, chunk: int, A_out, A_in, M, b, x,
 _multi_cycle = partial(jax.jit, static_argnums=(0, 1))(multi_cycle_impl)
 
 
+@partial(jax.jit, static_argnames=("in_dt",))
+def _setup_norms(M, b, vals, in_dt):
+    """||b||, ||M^{-1} b||, ||A||_F in one device dispatch (each separate
+    call costs a full round trip on remote-device transports)."""
+    b_norm = nrm2(b).astype(_f64)
+    minvb_norm = nrm2(typesafe_apply(M, b.astype(in_dt))).astype(_f64)
+    a_norm = nrm2(vals).astype(_f64)
+    return b_norm, minvb_norm, a_norm
+
+
 @dataclasses.dataclass
 class GmresResult:
     x: jax.Array
@@ -427,11 +454,8 @@ def solve(
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=out_dt)
 
     t1 = time.perf_counter()
-    # one-time norms (gmres.cpp:51-57, 162-168)
-    b_norm = nrm2(b).astype(_f64)
-    minvb = typesafe_apply(M, b.astype(in_dt))
-    minvb_norm = nrm2(minvb).astype(_f64)
-    a_norm = nrm2(A_in.vals).astype(_f64)  # Frobenius norm of inner-dtype values
+    # one-time norms (gmres.cpp:51-57, 162-168) — one fused dispatch
+    b_norm, minvb_norm, a_norm = _setup_norms(M, b, A_in.vals, in_dt)  # Frobenius norm of inner-dtype values
 
     def chunk_call(x, pstate, chunk):
         return _multi_cycle(
