@@ -130,7 +130,7 @@ def test_trsv_padded():
     s = rng.standard_normal(m)
     y = np.asarray(trsv_upper_padded(jnp.asarray(H), jnp.asarray(s), k))
     want = np.linalg.solve(np.triu(H[:k, :k]), s[:k])
-    np.testing.assert_allclose(y[:k], want, rtol=1e-12)
+    np.testing.assert_allclose(y[:k], want, rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(y[k:], 0, atol=0)
 
 
@@ -141,4 +141,4 @@ def test_trsv_padded_ignores_stale_garbage():
     s = np.arange(1.0, m + 1)
     y = np.asarray(trsv_upper_padded(jnp.asarray(H), jnp.asarray(s), k))
     want = np.linalg.solve(np.triu(H[:k, :k]), s[:k])
-    np.testing.assert_allclose(y[:k], want, rtol=1e-12)
+    np.testing.assert_allclose(y[:k], want, rtol=1e-12, atol=1e-14)
