@@ -28,11 +28,14 @@ def device_loop(fn, reps: int):
     @partial(jax.jit, static_argnums=())
     def run(*args):
         def body(i, a):
-            return fn(*a)
+            r = fn(*a)
+            return r if isinstance(r, tuple) else (r,)
 
         out = jax.lax.fori_loop(0, reps, body, args)
         leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
-        return sum(jnp.sum(x[..., :1].astype(jnp.float32)) for x in leaves)
+        return sum(
+            jnp.sum(x.reshape(-1)[:1].astype(jnp.float32)) for x in leaves
+        )
 
     return run
 
@@ -88,13 +91,14 @@ def main(argv=None) -> int:
     for fmt_name, A0 in formats:
         for dt_name, dt in (("f64", jnp.float64), ("f32", jnp.float32),
                             ("bf16", jnp.bfloat16)):
-            A = A0.astype(dt)
+            A = jax.device_put(A0.astype(dt))
             xd = x.astype(dt)
-            # scale each product down so the chained values neither overflow
-            # (rho(A)^reps) nor denormalize; the multiply fuses into the
-            # SpMV epilogue and is free at the bandwidth limit
-            run = device_loop(lambda a, v: (a, spmv(a, v) * dt(0.125)), reps)
-            t = time_op(run, (A, xd), reps)
+            # A is closed over (a jit constant), NOT a loop carry — carried
+            # pytrees get copied per iteration.  The 0.125 scale keeps the
+            # chained values from overflowing (rho(A)^reps) and fuses into
+            # the SpMV epilogue.
+            run = device_loop(lambda v: spmv(A, v) * dt(0.125), reps)
+            t = time_op(run, (xd,), reps)
             itemsize = jnp.dtype(dt).itemsize
             bytes_per = nnz * (itemsize + 4) + n * 2 * itemsize  # vals+cols+x+y
             results[f"spmv_{fmt_name}_{dt_name}"] = dict(
@@ -104,37 +108,41 @@ def main(argv=None) -> int:
                   f"{bytes_per/t/1e9:7.1f} GB/s", file=sys.stderr)
 
     for dt_name, dt in (("f64", jnp.float64), ("f32", jnp.float32)):
-        xd = x.astype(dt)
-        y = (x * 0.5).astype(dt)
+        xd = jax.device_put(x.astype(dt))
+        y = jax.device_put((x * 0.5).astype(dt))
 
-        def dot_step(w, v, acc):
-            return w, v, acc + jnp.dot(w, v, precision=jax.lax.Precision.HIGHEST)
+        # stationary operands are closed over (jit constants), only the
+        # evolving value is carried — a carried pytree copies per iteration
+
+        def dot_step(acc):
+            return acc * 1e-9 + jnp.dot(xd, y, precision=jax.lax.Precision.HIGHEST)
 
         run = device_loop(dot_step, reps)
-        t = time_op(run, (xd, y, jnp.zeros((), dt)), reps)
+        t = time_op(run, (jnp.zeros((), dt),), reps)
         results[f"dot_{dt_name}"] = dict(seconds=t, gb_per_s=2 * n * jnp.dtype(dt).itemsize / t / 1e9)
         print(f"dot  {dt_name}: {t*1e6:8.1f} us  {2*n*jnp.dtype(dt).itemsize/t/1e9:7.1f} GB/s",
               file=sys.stderr)
 
         # MGS proxy: dot + axpy
-        def mgs_step(w, v):
-            h = jnp.dot(w, v, precision=jax.lax.Precision.HIGHEST)
-            return w - h * v, v
+        def mgs_step(w):
+            h = jnp.dot(w, y, precision=jax.lax.Precision.HIGHEST)
+            return w - h * y
 
         run = device_loop(mgs_step, reps)
-        t = time_op(run, (xd, y), reps)
+        t = time_op(run, (xd,), reps)
         results[f"dot_axpy_{dt_name}"] = dict(seconds=t)
         print(f"mgs  {dt_name}: {t*1e6:8.1f} us", file=sys.stderr)
 
-        # CGS proxy: transposed gemv + gemv against an m x n basis
-        V = jnp.tile(y[None, :], (args.vcols, 1))
+        # CGS proxy: Gram reduction + rank-1 update against an m x n basis
+        # (VPU elementwise+reduce formulation, like ops/orth.py)
+        V = jax.device_put(jnp.tile(y[None, :], (args.vcols, 1)))
 
-        def cgs_step(V, w):
-            u = jnp.matmul(V, w, precision=jax.lax.Precision.HIGHEST)
-            return V, w - jnp.matmul(u, V, precision=jax.lax.Precision.HIGHEST)
+        def cgs_step(w):
+            u = jnp.sum(V * w[None, :], axis=1)
+            return w - jnp.sum(u[:, None] * V, axis=0)
 
         run = device_loop(cgs_step, reps)
-        t = time_op(run, (V, xd), reps)
+        t = time_op(run, (xd,), reps)
         bytes_per = 2 * args.vcols * n * jnp.dtype(dt).itemsize
         results[f"gemv2_{dt_name}"] = dict(seconds=t, gb_per_s=bytes_per / t / 1e9)
         print(f"cgs  {dt_name} (m={args.vcols}): {t*1e6:8.1f} us  "

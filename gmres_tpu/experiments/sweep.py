@@ -18,7 +18,11 @@ import sys
 
 
 def run_one(A, mat, mode, orth, prec, rlen, rtol, rorth, tol, max_restarts,
-            repeated_iter, seed, device, dist, b_path=None):
+            repeated_iter, seed, device, dist, b_path=None, A_staged=None):
+    """One configuration.  ``A_staged`` (optional): a device-resident
+    operator (e.g. DIA) staged once by the caller — used as the solve
+    operand while ``A`` (CSR) builds the preconditioner, so repeated
+    configs skip per-solve format conversion + upload."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -58,9 +62,18 @@ def run_one(A, mat, mode, orth, prec, rlen, rtol, rorth, tol, max_restarts,
     try:
         if dist:
             from gmres_tpu.parallel.dist_gmres import solve_distributed as _solve
+
+            res = _solve(A, b_host, cfg)
         else:
             from gmres_tpu.solver.gmres import solve as _solve
-        res = _solve(A, b_host, cfg)
+
+            if A_staged is not None and not dist:
+                from gmres_tpu.precond.build import build_preconditioner
+
+                M = build_preconditioner(A, cfg)  # from CSR (ILU needs it)
+                res = _solve(A_staged, b_host, cfg, M=M)
+            else:
+                res = _solve(A, b_host, cfg)
     except Exception as e:  # diverged/crashed runs are data, not errors
         print(f"run failed: {e}", file=sys.stderr)
         res = None
@@ -153,6 +166,14 @@ def main(argv=None) -> int:
         + ([] if args.skip_single else ["single"])
     )
 
+    # stage the operator on device once for the whole sweep (single-device
+    # path only; the distributed path partitions the CSR itself)
+    A_staged = None
+    if not args.dist:
+        from gmres_tpu.ops.dia import from_csr
+
+        A_staged = jax.device_put(from_csr(A) or A)
+
     rows = []
     for rl, rt, t, ro, mode, prec, seed in itertools.product(
         rlens, rtols, tols, rorths, modes, precs, seeds
@@ -165,7 +186,7 @@ def main(argv=None) -> int:
         row = run_one(
             A, mat_name, mode, args.orth.lower(), prec, rl, rt, ro, t,
             int(args.max_restarts), args.repeated_iter, seed, args.device,
-            args.dist, b_path,
+            args.dist, b_path, A_staged=A_staged,
         )
         print(
             f"  -> i={row['i']} iters={row['total_iters']} res={row['res']} "

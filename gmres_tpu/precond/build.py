@@ -168,6 +168,23 @@ def optimize_precond_format(M):
     return M
 
 
+def build_jacobi_from_dia(A, dtype) -> JacobiPrec:
+    """Jacobi from a DIA operator: the diagonal is the offset-0 band and
+    the row 1-norms sum |data| down the diagonals (same safeguard math as
+    ``build_jacobi``)."""
+    data = np.asarray(A.data, dtype=np.float64)
+    data = data.astype(dtype).astype(np.float64)  # reference's dtype-copy
+    row_abs = np.abs(data).sum(axis=0)
+    alpha = float(np.finfo(np.float32).eps) * float(row_abs.max(initial=0.0))
+    try:
+        d0 = A.offsets.index(0)
+    except ValueError:
+        raise ValueError("Jacobi preconditioner: DIA operator has no main diagonal")
+    dv = data[d0]
+    clamped = np.where(dv >= 0, np.maximum(dv, alpha), np.minimum(dv, -alpha))
+    return JacobiPrec(inv_diag=(1.0 / clamped).astype(dtype))
+
+
 def build_preconditioner(A: CSRMatrix, cfg: GmresConfig):
     """Build the preconditioner in the configured dtype from the (fp64)
     assembled matrix, as the reference does (``gmres_perf_test.cpp:68-92``:
@@ -175,6 +192,15 @@ def build_preconditioner(A: CSRMatrix, cfg: GmresConfig):
     dtype = cfg.precision.precond_dtype
     if cfg.precond == Precond.IDENTITY:
         return IdentityPrec()
+    if not isinstance(A, CSRMatrix):
+        # DIA (or other pre-staged) operator
+        if cfg.precond == Precond.JACOBI and hasattr(A, "offsets"):
+            return build_jacobi_from_dia(A, dtype)
+        raise TypeError(
+            f"{cfg.precond.value} preconditioner needs the CSR matrix; pass "
+            "the CSR form to solve() (it auto-converts the operator to DIA "
+            "internally) or prebuild M with build_preconditioner(csr, cfg)."
+        )
     if cfg.precond == Precond.JACOBI:
         return build_jacobi(A, dtype)
     if cfg.precond == Precond.ILU_JACOBI:
