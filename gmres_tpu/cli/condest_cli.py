@@ -11,6 +11,8 @@ def main(argv=None) -> int:
     p.add_argument("--Apath", default=None)
     p.add_argument("--rand", type=int, default=42)
     p.add_argument("--max-iters", type=int, default=100_000, dest="max_iters")
+    p.add_argument("--gpu", action="store_true",
+                   help="reference-compat alias for the accelerator device")
     p.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("--synth", default=None)
     args = p.parse_args(argv)

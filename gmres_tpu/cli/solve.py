@@ -47,7 +47,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--prec", choices=["ilu", "ilu_jacobi", "jacobi", "identity"], default="ilu"
     )
     p.add_argument("--jacobi-steps", type=int, default=1, dest="jacobi_steps")
-    # TPU-era flags (the reference had --gpu)
+    # TPU-era flags; --gpu accepted for drop-in compatibility with the
+    # reference's CLI (gmres_perf_test.cpp:402) — it selects the
+    # accelerator, which here is the TPU (the default anyway)
+    p.add_argument("--gpu", action="store_true",
+                   help="reference-compat alias for the accelerator device")
     p.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("--dist", action="store_true", help="row-partition over all devices")
     p.add_argument("--inner-dtype", choices=["float32", "bfloat16"], default=None,

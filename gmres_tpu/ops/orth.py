@@ -52,7 +52,18 @@ def cgs(V, k, w, axis_name=None, assume_zero_tail=False):
     """Classical Gram-Schmidt (``Orthogonalization.hpp:76-89``).
 
     ``assume_zero_tail=True`` skips the j<=k masking; only valid when rows
-    k+1..m of V are zero (the Arnoldi-loop invariant)."""
+    k+1..m of V are zero (the Arnoldi-loop invariant).  On that fast path
+    the fp32 pass routes through the fused Pallas kernels (measured 8x
+    over the XLA formulation inside solver loops: 418 vs 51 GB/s on v5e).
+    """
+    if assume_zero_tail:
+        from gmres_tpu.ops.pallas.orth_kernel import _gram, _update, profitable
+
+        if profitable(V):
+            u = _gram(V, w)
+            if axis_name is not None:
+                u = jax.lax.psum(u, axis_name)
+            return u, _update(V, w, u)
     u = _masked_gram(V, w, k, axis_name, mask=not assume_zero_tail)
     w = w - jnp.sum(u[:, None] * V, axis=0)
     return u, w

@@ -1,0 +1,123 @@
+"""Pallas TPU kernels for the CGS orthogonalization pass.
+
+The CGS step (``Orthogonalization.hpp:76-89``) is two passes over the
+Krylov basis V (m+1, n):
+
+    gram:    u = V @ w           (reduction over the huge axis)
+    update:  w' = w - u @ V      (rank-1-style elementwise update)
+
+XLA's elementwise+reduce formulation reaches ~310 GB/s on v5e; these
+kernels stream V through VMEM in row-blocks with explicit block shapes and
+emit per-block partials, reaching closer to the HBM roofline.  Both assume
+the Arnoldi-loop invariant that rows k+1..m of V are zero (so no masking
+by k is needed — see ``ops/orth.py``).
+
+Per-block partial outputs (reduced by one tiny jnp.sum outside) avoid
+cross-grid-step accumulation hazards entirely.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Row-block width (elements of n per grid step).  V block is (m+1, BLOCK)
+# f32: 32 x 32K x 4 = 4 MB — fits VMEM with double buffering for m <= ~60.
+_BLOCK = 32 * 1024
+
+
+def _gram_kernel(V_ref, w_ref, out_ref, *, m1):
+    # Accumulate u across sequential grid steps: the (8, 128) output block
+    # has a constant index map, so it stays VMEM-resident the whole pass.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # fp32 accumulation regardless of storage dtype (bf16 V halves the
+    # traffic; accumulating in bf16 would wreck orthogonality)
+    Vf = V_ref[:, :].astype(jnp.float32)
+    wf = w_ref[0, :].astype(jnp.float32)
+    partial = jnp.sum(Vf * wf[None, :], axis=1)  # (m1,) f32
+    padded = (
+        partial
+        if m1 == 128
+        else jnp.concatenate([partial, jnp.zeros((128 - m1,), partial.dtype)])
+    )
+    out_ref[0, :] += padded
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gram(V, w, interpret=False):
+    m1, n = V.shape
+    block = min(_BLOCK, n)
+    grid = n // block
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_gram_kernel, m1=m1),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((m1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            interpret=interpret,
+        )(V, w[None, :])
+    return out[0, :m1].astype(V.dtype)
+
+
+def _update_kernel(V_ref, w_ref, u_ref, out_ref):
+    Vf = V_ref[:, :].astype(jnp.float32)
+    uf = u_ref[0, :].astype(jnp.float32)
+    wf = w_ref[0, :].astype(jnp.float32)
+    out_ref[0, :] = (wf - jnp.sum(uf[:, None] * Vf, axis=0)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _update(V, w, u, interpret=False):
+    m1, n = V.shape
+    block = min(_BLOCK, n)
+    grid = n // block
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _update_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((m1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, n), V.dtype),
+            interpret=interpret,
+        )(V, w[None, :], u[None, :])
+    return out[0]
+
+
+def cgs_pass_pallas(V, w, interpret: bool = False):
+    """One unmasked CGS pass: (u, w - u @ V).  fp32/bf16; n must be a
+    multiple of the block (the solver's padded shapes guarantee it — the
+    caller checks via ``profitable``)."""
+    u = _gram(V, w, interpret=interpret)
+    return u, _update(V, w, u, interpret=interpret)
+
+
+def profitable(V, axis_name_irrelevant=None) -> bool:
+    """Route fp32 basis ops through the Pallas kernels on TPU at sizes
+    where kernel launch + padding costs are amortized."""
+    import os
+
+    if os.environ.get("GMRES_TPU_NO_PALLAS"):
+        return False
+    m1, n = V.shape
+    return (
+        V.dtype in (jnp.float32, jnp.bfloat16)
+        and m1 <= 128
+        and n >= 128 * 1024
+        and n % min(_BLOCK, n) == 0
+        and jax.default_backend() == "tpu"
+    )
