@@ -21,7 +21,6 @@ A Pallas kernel for the hot path lives in ``ops/pallas/spmv_kernel.py``.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from gmres_tpu.sparse import CSRMatrix
 

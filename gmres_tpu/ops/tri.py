@@ -13,7 +13,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_HI = jax.lax.Precision.HIGHEST
 
 
 def trsv_upper_padded(H: jax.Array, s: jax.Array, k) -> jax.Array:

@@ -43,7 +43,7 @@ from gmres_tpu.solver.gmres import (
     prepare_operators,
     restart_cycle_impl,
 )
-from gmres_tpu.solver.policies import initial_policy_state
+
 from gmres_tpu.sparse import CSRMatrix
 
 _f64 = jnp.float64

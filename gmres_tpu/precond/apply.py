@@ -18,7 +18,6 @@ hardcodes beta=1 — a defect we do not replicate.)
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from gmres_tpu.ops.spmv import spmv
 from gmres_tpu.precond.build import IdentityPrec, ILUJacobiPrec, JacobiPrec

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gmres_tpu.config import GmresConfig, Orth, RestartPolicy
+from gmres_tpu.config import GmresConfig, RestartPolicy
 from gmres_tpu.ops.blas import nrm2
 from gmres_tpu.ops.givens import accumulate_rotation, rotg
 from gmres_tpu.ops.orth import orthogonalize, _masked_gram
@@ -503,7 +503,6 @@ def drive_restarts(
     ``checkpoint`` (a ``utils.checkpoint.CheckpointSpec``) persists
     (x, i, iters, policy state) roughly every ``every`` restarts (rounded to
     chunk boundaries) and resumes from the file when present."""
-    import math
 
     pstate = initial_policy_state()
     history = [] if record_history else None

@@ -18,7 +18,6 @@ import dataclasses
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 # Pad nnz to this multiple so recurrent shapes are friendly to the 8x128

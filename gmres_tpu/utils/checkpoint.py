@@ -16,7 +16,7 @@ import tempfile
 
 import numpy as np
 
-from gmres_tpu.solver.policies import PolicyState, initial_policy_state
+from gmres_tpu.solver.policies import PolicyState
 
 
 @dataclasses.dataclass
