@@ -121,6 +121,34 @@ def from_csr(A: CSRMatrix, max_fill: float = 3.0, max_diags: int = 256) -> DIAMa
     )
 
 
+def dia_transpose(A: DIAMatrix) -> DIAMatrix:
+    """A^T in DIA form: offsets negate, each band's data shifts by its own
+    offset (B_data[-o][p] = A_data[o][p + o], zero outside).  Host-side
+    (numpy) — used at setup by condest's Golub-Kahan recurrence, which
+    needs A^T @ u (``condest.cpp`` uses the cusparse transpose flag)."""
+    data = np.asarray(A.data)
+    n = A.n_rows
+    out = np.zeros((len(A.offsets), n), dtype=data.dtype)
+    new_offsets = tuple(-o for o in A.offsets)
+    # B_data[d][p] = A_data[d][p - off_d] (band d moves to offset -off_d):
+    # B[p, p - off] = A[p - off, p] = A_data[off][p - off]
+    for d, off in enumerate(A.offsets):
+        src = data[d]
+        if off >= 0:
+            out[d, off:] = src[: n - off] if off else src
+        else:
+            out[d, : n + off] = src[-off:]
+    # sort bands by new offset to keep the canonical ascending order
+    order = np.argsort(new_offsets)
+    return DIAMatrix(
+        data=out[order],
+        offsets=tuple(new_offsets[i] for i in order),
+        n_rows=A.n_cols,
+        n_cols=A.n_rows,
+        nnz=A.nnz,
+    )
+
+
 def shift_read(x: jax.Array, off: int, n: int) -> jax.Array:
     """z[i] = x[i + off] for i in [0, n), zero outside x's range."""
     m = x.shape[0]

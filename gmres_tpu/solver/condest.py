@@ -101,7 +101,24 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
             verbose=print):
     """Estimate cond_2(A).  Returns (cond, sigma_max, sigma_min, iters)."""
     n = A.n_rows
-    At = transpose_csr(A)
+    # DIA fast path where the pattern allows (the DIA transpose is a band
+    # re-shift, ops/dia.py:dia_transpose); CSR gather SpMV is ~100x off
+    # bandwidth on TPU and would dominate the thousands of LSQR steps.
+    if isinstance(A, CSRMatrix):
+        from gmres_tpu.ops.dia import dia_transpose, from_csr
+
+        dia = from_csr(A)
+        if dia is not None:
+            A = jax.device_put(dia)
+            At = jax.device_put(dia_transpose(dia))
+        else:
+            A = jax.device_put(A)
+            At = jax.device_put(transpose_csr(A))
+    else:
+        from gmres_tpu.ops.dia import dia_transpose
+
+        At = jax.device_put(dia_transpose(A))
+        A = jax.device_put(A)
 
     eps = float(np.finfo(np.float64).eps)
     c1 = 8 * eps
@@ -139,30 +156,45 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
              v_max)
 
     tau = math.sqrt(2) * erfinv_c2 / x_rand_norm
-    T = max_iters
-    sigma_min = sigma_max
-    t = 1
-    while t <= T:
-        state, sc = _lsqr_step(A, At, state)
-        d_norm = float(sc["d_norm"])
-        ad_norm = float(sc["ad_norm"])
-        sigma_min = float(sc["sigma_min"])
-        if d_norm == 0 or math.isnan(ad_norm):
-            break
-        if sigma_min / sigma_max <= c4:
-            c1 = c1_prime
-        if T == max_iters:
-            x_norm = float(sc["x_norm"])
-            if (
-                ad_norm / (sigma_max * x_norm + b_norm) <= c1
-                or d_norm <= tau
-                or sigma_max / sigma_min >= c3
-            ):
-                T = int(math.ceil(t * 1.25))
-                verbose(f"t = {t}: finishing")
-            if t % 10000 == 0:
-                verbose(f"t = {t}: sigma_min = {sigma_min:g}")
-        t += 1
+
+    # The reference evaluates the stopping thresholds on the host every
+    # iteration (condest.cpp:139-157) — free on-node, ruinous over a remote
+    # device transport.  All quantities are device scalars, so both phases
+    # (iterate-until-threshold, then 25% extra iterations) run as jitted
+    # while_loops with exactly two host round trips.
+    @jax.jit
+    def _run_phases(state):
+        def step(carry):
+            state, t, _fin, _deg = carry
+            state, sc = _lsqr_step(A, At, state)
+            sigma_min = sc["sigma_min"]
+            c1_eff = jnp.where(sigma_min / sigma_max <= c4, c1_prime, c1)
+            finished = (
+                (sc["ad_norm"] / (sigma_max * sc["x_norm"] + b_norm) <= c1_eff)
+                | (sc["d_norm"] <= tau)
+                | (sigma_max / sigma_min >= c3)
+            )
+            degenerate = (sc["d_norm"] == 0) | jnp.isnan(sc["ad_norm"])
+            return state, t + 1, finished, degenerate
+
+        carry0 = (state, jnp.asarray(1, jnp.int32), jnp.asarray(False),
+                  jnp.asarray(False))
+        state, t1, _, _ = jax.lax.while_loop(
+            lambda c: (~c[2]) & (~c[3]) & (c[1] <= max_iters), step, carry0
+        )
+        # continue to 1.25*t total (the reference's ceil(1.25 t) tail);
+        # the 'finished' flag is ignored there, degeneracy still stops
+        t_target = jnp.ceil(t1.astype(jnp.float64) * 1.25).astype(jnp.int32)
+        state, t2, _, _ = jax.lax.while_loop(
+            lambda c: (~c[3]) & (c[1] <= t_target), step,
+            (state, t1, jnp.asarray(False), jnp.asarray(False)),
+        )
+        sigma_min = state[9]
+        return t2, sigma_min
+
+    t, sigma_min = jax.device_get(_run_phases(state))
+    t = int(t)
+    sigma_min = float(sigma_min)
 
     verbose(f"{t} iterations total")
     cond = sigma_max / sigma_min
