@@ -104,3 +104,39 @@ def orthogonalize(kind: str, V, k, w, axis_name=None, orth_steps: int = 2,
     if kind == "cgsr":
         return cgsr(V, k, w, axis_name, orth_steps, assume_zero_tail)
     raise ValueError(f"unknown orthogonalization {kind!r}")
+
+
+def orthonormalize_step(kind: str, V, k, w, axis_name=None,
+                        orth_steps: int = 2, assume_zero_tail=False):
+    """Orthogonalize + the norm of the result: ``(h_col, w_orth, h_next)``.
+
+    The Arnoldi loop always needs ``||w_orth||`` right after the
+    orthogonalization (``Orthogonalization.hpp:51-60``); on the Pallas fast
+    paths the sum of squares is accumulated inside the final update sweep,
+    saving a separate pass over w — and fusing CGSR's middle update+gram
+    into one V sweep (3 basis reads per CGSR step instead of 5 passes).
+    """
+    if assume_zero_tail:
+        from gmres_tpu.ops.pallas.orth_kernel import (
+            _gram,
+            _update_sumsq,
+            cgsr2_pallas,
+            profitable,
+        )
+
+        if profitable(V):
+            if kind == "cgsr" and orth_steps == 2:
+                return cgsr2_pallas(V, w, axis_name)
+            if kind == "cgs":
+                u = _gram(V, w)
+                if axis_name is not None:
+                    u = jax.lax.psum(u, axis_name)
+                w2, ss = _update_sumsq(V, w, u)
+                if axis_name is not None:
+                    ss = jax.lax.psum(ss, axis_name)
+                return u, w2, jnp.sqrt(ss).astype(V.dtype)
+    h, w = orthogonalize(kind, V, k, w, axis_name, orth_steps,
+                         assume_zero_tail)
+    from gmres_tpu.ops.blas import nrm2
+
+    return h, w, nrm2(w, axis_name)

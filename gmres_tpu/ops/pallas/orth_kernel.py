@@ -98,6 +98,123 @@ def _update(V, w, u, interpret=False):
     return out[0]
 
 
+def _update_gram_kernel(V_ref, w_ref, u_ref, w_out_ref, u2_ref, *, m1):
+    """Fused CGSR middle pass: w' = w - u @ V, then accumulate u2 = V @ w'
+    with the SAME V block resident — one V sweep instead of two."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        u2_ref[...] = jnp.zeros_like(u2_ref)
+
+    Vf = V_ref[:, :].astype(jnp.float32)
+    uf = u_ref[0, :].astype(jnp.float32)
+    wf = w_ref[0, :].astype(jnp.float32)
+    w_new = wf - jnp.sum(uf[:, None] * Vf, axis=0)
+    w_out_ref[0, :] = w_new.astype(w_out_ref.dtype)
+    partial = jnp.sum(Vf * w_new[None, :], axis=1)
+    padded = (
+        partial
+        if m1 == 128
+        else jnp.concatenate([partial, jnp.zeros((128 - m1,), partial.dtype)])
+    )
+    u2_ref[0, :] += padded
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _update_gram(V, w, u, interpret=False):
+    m1, n = V.shape
+    block = min(_BLOCK, n)
+    grid = n // block
+    with jax.enable_x64(False):
+        w_out, u2 = pl.pallas_call(
+            functools.partial(_update_gram_kernel, m1=m1),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((m1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, n), V.dtype),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ),
+            interpret=interpret,
+        )(V, w[None, :], u[None, :])
+    return w_out[0], u2[0, :m1].astype(V.dtype)
+
+
+def _update_sumsq_kernel(V_ref, w_ref, u_ref, w_out_ref, ss_ref):
+    """Final update pass with the result's sum of squares accumulated in
+    the same sweep (replaces the separate nrm2 pass over w)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ss_ref[...] = jnp.zeros_like(ss_ref)
+
+    Vf = V_ref[:, :].astype(jnp.float32)
+    uf = u_ref[0, :].astype(jnp.float32)
+    wf = w_ref[0, :].astype(jnp.float32)
+    w_new = wf - jnp.sum(uf[:, None] * Vf, axis=0)
+    w_out_ref[0, :] = w_new.astype(w_out_ref.dtype)
+    # Mosaic rejects scalar VMEM stores; write the block's sum of squares
+    # into lane 0 of a full 128-lane vector
+    ss = jnp.sum(w_new * w_new)
+    ss_ref[0, :] += jnp.concatenate([ss[None], jnp.zeros((127,), ss.dtype)])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _update_sumsq(V, w, u, interpret=False):
+    m1, n = V.shape
+    block = min(_BLOCK, n)
+    grid = n // block
+    with jax.enable_x64(False):
+        w_out, ss = pl.pallas_call(
+            _update_sumsq_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((m1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, n), V.dtype),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ),
+            interpret=interpret,
+        )(V, w[None, :], u[None, :])
+    return w_out[0], ss[0, 0]
+
+
+def cgsr2_pallas(V, w, axis_name=None, interpret: bool = False):
+    """Full CGSR (2-pass) step in three V sweeps instead of five:
+
+        u1 = V w;  (w1, u2) = fused(update, gram);  (w2, ss) = fused(update, sumsq)
+
+    Returns (h = u1+u2, w2, h_next = sqrt(ss)).  The sumsq is the exact
+    norm of the returned vector (not a Pythagorean estimate), so numerics
+    match the unfused sequence up to reduction order.
+    """
+    import jax as _jax
+
+    u1 = _gram(V, w, interpret=interpret)
+    if axis_name is not None:
+        u1 = _jax.lax.psum(u1, axis_name)
+    w1, u2 = _update_gram(V, w, u1, interpret=interpret)
+    if axis_name is not None:
+        u2 = _jax.lax.psum(u2, axis_name)
+    w2, ss = _update_sumsq(V, w1, u2, interpret=interpret)
+    if axis_name is not None:
+        ss = _jax.lax.psum(ss, axis_name)
+    h_next = jnp.sqrt(ss).astype(V.dtype)
+    return u1 + u2, w2, h_next
+
+
 def cgs_pass_pallas(V, w, interpret: bool = False):
     """One unmasked CGS pass: (u, w - u @ V).  fp32/bf16; n must be a
     multiple of the block (the solver's padded shapes guarantee it — the

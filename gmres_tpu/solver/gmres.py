@@ -42,7 +42,7 @@ import numpy as np
 from gmres_tpu.config import GmresConfig, RestartPolicy
 from gmres_tpu.ops.blas import nrm2
 from gmres_tpu.ops.givens import accumulate_rotation, rotg
-from gmres_tpu.ops.orth import orthogonalize, _masked_gram
+from gmres_tpu.ops.orth import orthonormalize_step, _masked_gram
 from gmres_tpu.ops.spmv import spmv
 from gmres_tpu.ops.tri import trsv_upper_padded
 from gmres_tpu.precond.apply import typesafe_apply
@@ -110,10 +110,10 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         w = spmv(A_in, v_k, axis)
         w = typesafe_apply(M, w, axis)
 
-        h_col, w = orthogonalize(cfg.orth.value, V, k, w, axis, cfg.orth_steps,
-                                 assume_zero_tail=True)
-
-        h_next = nrm2(w, axis)
+        h_col, w, h_next = orthonormalize_step(
+            cfg.orth.value, V, k, w, axis, cfg.orth_steps,
+            assume_zero_tail=True,
+        )
         # The reference divides unconditionally (Orthogonalization.hpp:59 —
         # no happy-breakdown guard); we guard the h==0 case to a zero vector
         # (mirrors first_vector's beta==0 branch) instead of poisoning with NaN.
