@@ -69,9 +69,20 @@ def cgs(V, k, w, axis_name=None, assume_zero_tail=False):
     return u, w
 
 
-def mgs(V, k, w, axis_name=None):
+def mgs(V, k, w, axis_name=None, assume_zero_tail=False):
     """Modified Gram-Schmidt (``Orthogonalization.hpp:91-107``): sequential
-    dot+naxpy pairs, one per basis vector."""
+    dot+naxpy pairs, one per basis vector.
+
+    On the single-device fast path (zero tail beyond k, V small enough for
+    w to stay VMEM-resident) the whole recurrence runs as ONE Pallas sweep
+    over V — the traffic of a single CGS Gram pass.  Distributed MGS keeps
+    the rolled form: each h_j needs its own psum before the update (the
+    k+1-allreduce cost that makes CGS/CGSR the at-scale defaults)."""
+    if assume_zero_tail and axis_name is None:
+        from gmres_tpu.ops.pallas.orth_kernel import _mgs, mgs_profitable
+
+        if mgs_profitable(V):
+            return _mgs(V, w)
     m1 = V.shape[0]
     h = jnp.zeros((m1,), dtype=V.dtype)
 
@@ -100,7 +111,7 @@ def orthogonalize(kind: str, V, k, w, axis_name=None, orth_steps: int = 2,
     if kind == "cgs":
         return cgs(V, k, w, axis_name, assume_zero_tail)
     if kind == "mgs":
-        return mgs(V, k, w, axis_name)
+        return mgs(V, k, w, axis_name, assume_zero_tail)
     if kind == "cgsr":
         return cgsr(V, k, w, axis_name, orth_steps, assume_zero_tail)
     raise ValueError(f"unknown orthogonalization {kind!r}")

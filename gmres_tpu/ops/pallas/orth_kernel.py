@@ -215,6 +215,108 @@ def cgsr2_pallas(V, w, axis_name=None, interpret: bool = False):
     return u1 + u2, w2, h_next
 
 
+def _mgs_kernel(V_hbm, w_hbm, w_out_ref, h_ref, vbuf, w_vmem, vsem, wsem, *, m1):
+    """One grid step = one MGS elimination: h_j = <w, v_j>; w -= h_j v_j.
+
+    ``w_vmem`` (scratch) holds the evolving vector across the whole
+    sequential grid — DMA'd in once at step 0, out once at the last step —
+    so the ENTIRE k+1-step modified-Gram-Schmidt recurrence costs a single
+    streaming read of V: the same HBM traffic as one CGS Gram pass, with
+    MGS's numerical behavior (identical operation sequence to
+    Orthogonalization.hpp:91-107).  V rows are double-buffered: row j+1's
+    DMA is issued before row j's compute."""
+    j = pl.program_id(0)
+
+    # V is passed as (m1, n/128, 128): slicing the leading dim is
+    # tile-aligned, so single rows DMA cleanly from the (8,128)-tiled
+    # HBM layout.
+    def row_dma(row, slot):
+        return pltpu.make_async_copy(
+            V_hbm.at[row], vbuf.at[slot], vsem.at[slot]
+        )
+
+    @pl.when(j == 0)
+    def _():
+        h_ref[...] = jnp.zeros_like(h_ref)
+        cp = pltpu.make_async_copy(w_hbm, w_vmem, wsem)
+        cp.start()
+        row_dma(0, 0).start()
+        cp.wait()
+
+    slot = jax.lax.rem(j, 2)
+    # prefetch the next row before waiting on the current one
+    @pl.when(j + 1 < m1)
+    def _():
+        row_dma(j + 1, jax.lax.rem(j + 1, 2)).start()
+
+    row_dma(j, slot).wait()
+
+    vj = vbuf[slot].astype(jnp.float32)        # (n/128, 128)
+    wf = w_vmem[...].astype(jnp.float32)       # (n/128, 128)
+    hj = jnp.sum(vj * wf)
+    w_vmem[...] = (wf - hj * vj).astype(w_vmem.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+    h_ref[0, :] += jnp.where(lane == j, hj, 0.0)
+
+    @pl.when(j == m1 - 1)
+    def _():
+        cp = pltpu.make_async_copy(w_vmem, w_out_ref, wsem)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mgs(V, w, interpret=False):
+    m1, n = V.shape
+    rows = n // 128
+    V3 = V.reshape(m1, rows, 128)
+    with jax.enable_x64(False):
+        w_out, h = pl.pallas_call(
+            functools.partial(_mgs_kernel, m1=m1),
+            grid=(m1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # V rows DMA'd manually
+                pl.BlockSpec(memory_space=pltpu.ANY),   # w stays in HBM
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),   # w' written by DMA
+                pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((rows, 128), V.dtype),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, 128), V.dtype),
+                pltpu.VMEM((rows, 128), V.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(V3, w.reshape(rows, 128))
+    return h[0, :m1].astype(V.dtype), w_out.reshape(n)
+
+
+def mgs_profitable(V) -> bool:
+    """The MGS kernel keeps w plus one V row (double-buffered) in VMEM:
+    ~12 MB at n=1M fp32 — the ceiling.  Above it, the rolled dot/axpy
+    path applies."""
+    import os
+
+    if os.environ.get("GMRES_TPU_NO_PALLAS"):
+        return False
+    m1, n = V.shape
+    itemsize = jnp.dtype(V.dtype).itemsize
+    return (
+        V.dtype in (jnp.float32, jnp.bfloat16)
+        and m1 <= 128
+        and 128 * 1024 <= n
+        and 3 * n * itemsize <= 12 * 1024 * 1024
+        and n % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
+
+
 def cgs_pass_pallas(V, w, interpret: bool = False):
     """One unmasked CGS pass: (u, w - u @ V).  fp32/bf16; n must be a
     multiple of the block (the solver's padded shapes guarantee it — the
