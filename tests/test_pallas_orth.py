@@ -39,3 +39,52 @@ def test_cgs_pass_full_basis():
     np.testing.assert_allclose(
         np.asarray(u), u_ref, rtol=1e-4, atol=1e-5 * float(np.max(np.abs(u_ref)))
     )
+
+
+def test_cgsr2_matches_two_pass_reference():
+    rng = np.random.default_rng(11)
+    m1, n = 31, 64 * 1024
+    V = np.zeros((m1, n), np.float32)
+    V[:5] = np.linalg.qr(rng.standard_normal((n, 5)))[0].T.astype(np.float32)
+    w = rng.standard_normal(n).astype(np.float32)
+
+    from gmres_tpu.ops.pallas.orth_kernel import cgsr2_pallas
+
+    h, w2, hn = cgsr2_pallas(jnp.asarray(V), jnp.asarray(w), interpret=True)
+
+    V64 = V.astype(np.float64)
+    u1 = V64 @ w
+    w1 = w - u1 @ V64
+    u2 = V64 @ w1
+    wr = w1 - u2 @ V64
+    href = u1 + u2
+    scale = float(np.max(np.abs(href)))
+    np.testing.assert_allclose(np.asarray(h), href, rtol=1e-3, atol=1e-4 * scale)
+    np.testing.assert_allclose(
+        np.asarray(w2), wr, rtol=1e-3, atol=1e-4 * float(np.max(np.abs(wr)))
+    )
+    np.testing.assert_allclose(float(hn), np.linalg.norm(wr), rtol=1e-4)
+
+
+def test_mgs_kernel_matches_rolled_reference():
+    rng = np.random.default_rng(12)
+    m1, n = 15, 32 * 1024
+    V = np.zeros((m1, n), np.float32)
+    V[:6] = np.linalg.qr(rng.standard_normal((n, 6)))[0].T.astype(np.float32)
+    w = rng.standard_normal(n).astype(np.float32)
+
+    from gmres_tpu.ops.pallas.orth_kernel import _mgs
+
+    h, w2 = _mgs(jnp.asarray(V), jnp.asarray(w), interpret=True)
+
+    href = np.zeros(m1, np.float32)
+    wr = w.copy()
+    for j in range(m1):
+        hj = np.float32(np.dot(wr, V[j]))
+        wr = wr - hj * V[j]
+        href[j] = hj
+    scale = max(float(np.max(np.abs(href))), 1e-9)
+    np.testing.assert_allclose(np.asarray(h), href, rtol=1e-3, atol=1e-4 * scale)
+    np.testing.assert_allclose(
+        np.asarray(w2), wr, rtol=1e-3, atol=1e-4 * float(np.max(np.abs(wr)))
+    )
