@@ -369,6 +369,64 @@ class GmresResult:
     fellback_to_fp64: bool = False
 
 
+# Alignment for the padded problem on TPU: the fused Pallas orth kernels
+# stream the basis in 32K-element row blocks, so n must be a multiple.
+_ALIGN = 32 * 1024
+
+
+def _pad_operator(A, n_pad: int):
+    """Append zero rows/columns up to n_pad.  Zero padding is inert for
+    GMRES: padded entries of b/x/V stay exactly zero through every SpMV,
+    reduction and update, and contribute nothing to ||A||_F or any norm,
+    so the convergence history is bit-comparable to the unpadded solve."""
+    import dataclasses as _dc
+
+    from gmres_tpu.ops.dia import DIAMatrix
+
+    if isinstance(A, DIAMatrix):
+        pad = n_pad - A.n_rows
+        data = jnp.pad(jnp.asarray(A.data), ((0, 0), (0, pad)))
+        return _dc.replace(A, data=data, n_rows=n_pad, n_cols=n_pad)
+    if isinstance(A, CSRMatrix):
+        rp = np.asarray(A.row_ptr)
+        rp_pad = np.concatenate(
+            [rp, np.full(n_pad - A.n_rows, rp[-1], dtype=rp.dtype)]
+        )
+        return _dc.replace(
+            A,
+            row_ptr=jnp.asarray(rp_pad),
+            n_rows=n_pad,
+            n_cols=n_pad,
+        )
+    raise TypeError(f"cannot pad {type(A)}")
+
+
+def _pad_prec(M, n_pad: int):
+    """Pad a preconditioner built on the unpadded matrix: padded rows get
+    inv_diag 1.0 (they only ever see zero inputs) and zero factor rows."""
+    import dataclasses as _dc
+
+    from gmres_tpu.precond.build import IdentityPrec, ILUJacobiPrec, JacobiPrec
+
+    if isinstance(M, IdentityPrec):
+        return M
+    n = M.inv_diag.shape[0]
+    if n == n_pad:
+        return M
+    inv_diag = jnp.pad(jnp.asarray(M.inv_diag), (0, n_pad - n),
+                       constant_values=1.0)
+    if isinstance(M, JacobiPrec):
+        return JacobiPrec(inv_diag=inv_diag)
+    if isinstance(M, ILUJacobiPrec):
+        return ILUJacobiPrec(
+            lower=_pad_operator(M.lower, n_pad),
+            upper=_pad_operator(M.upper, n_pad),
+            inv_diag=inv_diag,
+            steps=M.steps,
+        )
+    raise TypeError(f"cannot pad {type(M)}")
+
+
 def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
     """Stage the matrix into (outer, inner) dtypes.  When the dtypes match
     (all baseline-style modes) one array serves both roles, like the
@@ -440,18 +498,39 @@ def solve(
             raise ValueError("reorder with a prebuilt preconditioner is unsupported")
 
     t0 = time.perf_counter()
-    A_out, A_in = prepare_operators(A, cfg)
+    # Build the preconditioner on the UNPADDED matrix (ILU factorization
+    # needs real diagonals), then pad everything to the Pallas block
+    # alignment so the fused kernels apply at any problem size.
     if M is None:
         M = build_preconditioner(A, cfg)
     if cfg.auto_format and cfg.axis_name is None:
         from gmres_tpu.precond.build import optimize_precond_format
 
         M = optimize_precond_format(M)
+
+    n_orig = A.n_rows
+    n_pad = n_orig
+    if (
+        cfg.auto_format
+        and cfg.axis_name is None
+        and jax.default_backend() == "tpu"
+        and n_orig % _ALIGN
+        and n_orig >= _ALIGN
+    ):
+        n_pad = -(-n_orig // _ALIGN) * _ALIGN
+        A = _pad_operator(A, n_pad)
+        M = _pad_prec(M, n_pad)
+
+    A_out, A_in = prepare_operators(A, cfg)
     M = jax.device_put(M)  # one upload, not one per jitted cycle call
     prec_seconds = time.perf_counter() - t0
 
     b = jnp.asarray(b, dtype=out_dt)
+    if n_pad != n_orig:
+        b = jnp.pad(b, (0, n_pad - n_orig))
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=out_dt)
+    if x0 is not None and n_pad != n_orig:
+        x = jnp.pad(x, (0, n_pad - n_orig))
 
     t1 = time.perf_counter()
     # one-time norms (gmres.cpp:51-57, 162-168) — one fused dispatch
@@ -471,6 +550,8 @@ def solve(
     from gmres_tpu.config import PrecisionSpec as _PS
 
     if result.diverged and cfg.nan_fallback and cfg.precision != _PS.from_mode("baseline"):
+        # A and b are already padded here, so the recursive solve is a
+        # no-op pad (n_rows aligned) and returns a padded x like ours
         fb = solve(
             A, np.asarray(b), cfg.with_(precision=_PS.from_mode("baseline")),
             record_history=record_history, progress=progress,
@@ -479,6 +560,9 @@ def solve(
         fb.prec_seconds += prec_seconds
         fb.solve_seconds += result.solve_seconds
         result = fb
+
+    if np.asarray(result.x).shape[0] != n_orig:
+        result.x = result.x[:n_orig]
 
     if perm is not None:
         x_out = np.empty_like(np.asarray(result.x))
