@@ -81,11 +81,10 @@ def main():
     # reference also deep-copies the matrix to the device before its timed
     # gmres phase (gmres_perf_test.cpp:218-221).  solve() still restages
     # per-dtype views, but from device-resident arrays (cheap casts).
-    from gmres_tpu.ops.dia import from_csr
+    from gmres_tpu import stage
 
     t0 = time.perf_counter()
-    A_staged = from_csr(A) or A
-    A_staged = jax.device_put(A_staged)
+    A_staged = stage(A)
     jax.block_until_ready(A_staged.vals)
     log(f"operator staged (DIA={A_staged is not A}) in {time.perf_counter()-t0:.1f}s")
 

@@ -40,7 +40,7 @@ from gmres_tpu.config import (  # noqa: E402
     PrecisionSpec,
 )
 from gmres_tpu.sparse import CSRMatrix, csr_from_coo, csr_from_dense  # noqa: E402
-from gmres_tpu.solver.gmres import solve, GmresResult  # noqa: E402
+from gmres_tpu.solver.gmres import solve, stage, GmresResult  # noqa: E402
 from gmres_tpu.io.loader import load_matrix, load_vector  # noqa: E402
 from gmres_tpu.io.rng import rand_vect  # noqa: E402
 
@@ -55,6 +55,7 @@ __all__ = [
     "csr_from_coo",
     "csr_from_dense",
     "solve",
+    "stage",
     "GmresResult",
     "load_matrix",
     "load_vector",

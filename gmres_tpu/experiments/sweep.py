@@ -170,9 +170,9 @@ def main(argv=None) -> int:
     # path only; the distributed path partitions the CSR itself)
     A_staged = None
     if not args.dist:
-        from gmres_tpu.ops.dia import from_csr
+        from gmres_tpu.solver.gmres import stage
 
-        A_staged = jax.device_put(from_csr(A) or A)
+        A_staged = stage(A)
 
     rows = []
     for rl, rt, t, ro, mode, prec, seed in itertools.product(

@@ -178,8 +178,11 @@ def _pallas_profitable(A: DIAMatrix, x: jax.Array) -> bool:
     XLA re-streams x once per diagonal; the kernel stages each block's
     window into VMEM once).  bf16 stays on XLA (its shifted-slice fusion
     is already near-bandwidth there) and fp64 has no Mosaic support."""
+    from gmres_tpu.ops.pallas import orth_kernel as _ok
+
     return (
         not _PALLAS_DISABLED
+        and not _ok.force_disabled
         and A.data.dtype == jnp.float32
         and A.n_rows >= _PALLAS_MIN_ROWS
         and jax.default_backend() == "tpu"

@@ -303,7 +303,7 @@ def mgs_profitable(V) -> bool:
     path applies."""
     import os
 
-    if os.environ.get("GMRES_TPU_NO_PALLAS"):
+    if force_disabled or os.environ.get("GMRES_TPU_NO_PALLAS"):
         return False
     m1, n = V.shape
     itemsize = jnp.dtype(V.dtype).itemsize
@@ -325,12 +325,18 @@ def cgs_pass_pallas(V, w, interpret: bool = False):
     return u, _update(V, w, u, interpret=interpret)
 
 
+# Per-process opt-out, set from GmresConfig.use_pallas by the solver (the
+# config is a static jit argument, so traces specialize consistently) or
+# by the GMRES_TPU_NO_PALLAS env var.
+force_disabled = False
+
+
 def profitable(V, axis_name_irrelevant=None) -> bool:
     """Route fp32 basis ops through the Pallas kernels on TPU at sizes
     where kernel launch + padding costs are amortized."""
     import os
 
-    if os.environ.get("GMRES_TPU_NO_PALLAS"):
+    if force_disabled or os.environ.get("GMRES_TPU_NO_PALLAS"):
         return False
     m1, n = V.shape
     return (

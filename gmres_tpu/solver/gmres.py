@@ -456,6 +456,23 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
     return A_out, A_in
 
 
+def stage(A: CSRMatrix, cfg: GmresConfig | None = None):
+    """Pre-stage an operator for repeated solves: format conversion
+    (CSR -> DIA when banded) + device upload happen once here instead of
+    inside every ``solve`` call.  Returns the staged operator; pass it to
+    ``solve`` in place of the CSR matrix (the per-call padding and dtype
+    casts on an already-device-resident operator are cheap).
+
+    This mirrors the reference's pre-timed host->device deep_copy
+    (``gmres_perf_test.cpp:218-221``)."""
+    cfg = cfg or GmresConfig()
+    if cfg.auto_format and isinstance(A, CSRMatrix):
+        from gmres_tpu.ops.dia import from_csr
+
+        A = from_csr(A) or A
+    return jax.device_put(A)
+
+
 def solve(
     A: CSRMatrix,
     b,
@@ -482,6 +499,12 @@ def solve(
     cfg = cfg or GmresConfig()
     out_dt = jnp.dtype(cfg.precision.outer)
     in_dt = cfg.precision.inner_dtype
+
+    # cfg.use_pallas drives a process-level switch; cfg is a static jit
+    # argument, so traces specialize consistently with the flag's value
+    from gmres_tpu.ops.pallas import orth_kernel as _orth_kernel
+
+    _orth_kernel.force_disabled = not cfg.use_pallas
 
     perm = None
     if reorder is not None:
