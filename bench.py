@@ -75,7 +75,10 @@ def main():
         f"(built in {time.perf_counter()-t0:.1f}s)")
 
     x_true = rand_vect(n, 42)
-    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    # keep b device-resident: the reference deep_copies x,b to the device
+    # before its timed phase (gmres_perf_test.cpp:218-221)
+    b = jax.device_put(jnp.asarray(np.asarray(spmv(A, jnp.asarray(x_true))),
+                                   dtype=jnp.float64))
 
     # Stage the operator on device once, OUTSIDE the timed solves — the
     # reference also deep-copies the matrix to the device before its timed

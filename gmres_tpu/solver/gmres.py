@@ -427,6 +427,9 @@ def _pad_prec(M, n_pad: int):
     raise TypeError(f"cannot pad {type(M)}")
 
 
+_STAGING_CACHE = None  # weakref.WeakKeyDictionary, created lazily
+
+
 def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
     """Stage the matrix into (outer, inner) dtypes.  When the dtypes match
     (all baseline-style modes) one array serves both roles, like the
@@ -435,24 +438,46 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
 
     With ``cfg.auto_format`` (single-device only), banded matrices are
     re-packed into DIA form where SpMV runs at HBM bandwidth on TPU
-    (see ``ops/dia.py``)."""
+    (see ``ops/dia.py``).
+
+    Staged views are cached per operator object (id-keyed with weakref
+    cleanup; the matrix pytrees hold jax arrays and are not hashable), so
+    repeated solves on the same matrix skip conversion, casts and
+    uploads."""
+    global _STAGING_CACHE
+    import weakref
+
+    if _STAGING_CACHE is None:
+        _STAGING_CACHE = {}
+
+    out_dt = jnp.dtype(cfg.precision.outer)
+    in_dt = cfg.precision.inner_dtype
+    key = (cfg.auto_format and cfg.axis_name is None, str(out_dt), str(in_dt))
+    entry = _STAGING_CACHE.get(id(A))
+    if entry is not None and entry[0]() is A and key in entry[1]:
+        return entry[1][key]
+
+    A_fmt = A
     if cfg.auto_format and cfg.axis_name is None and isinstance(A, CSRMatrix):
         from gmres_tpu.ops.dia import from_csr
 
         dia = from_csr(A)
         if dia is not None:
-            A = dia
-    out_dt = jnp.dtype(cfg.precision.outer)
-    in_dt = cfg.precision.inner_dtype
-    A_in = A.astype(in_dt)
+            A_fmt = dia
+    A_in = A_fmt.astype(in_dt)
     same = out_dt == in_dt
-    A_out = A_in if same else A.astype(out_dt)
+    A_out = A_in if same else A_fmt.astype(out_dt)
     # Commit the staged operators to the device ONCE (the reference's
     # host->device deep_copy boundary, types_cuda.hpp:103-114).  Construction
     # keeps numpy-backed pytrees for host-side setup work; without this the
     # jitted cycle re-uploads the whole matrix on every call.
     A_in = jax.device_put(A_in)
     A_out = A_in if same else jax.device_put(A_out)
+    if entry is None or entry[0]() is not A:
+        aid = id(A)
+        entry = (weakref.ref(A, lambda _, i=aid: _STAGING_CACHE.pop(i, None)), {})
+        _STAGING_CACHE[id(A)] = entry
+    entry[1][key] = (A_out, A_in)
     return A_out, A_in
 
 
@@ -541,7 +566,28 @@ def solve(
         and n_orig >= _ALIGN
     ):
         n_pad = -(-n_orig // _ALIGN) * _ALIGN
-        A = _pad_operator(A, n_pad)
+        # cache the padded operator on the original object so repeated
+        # solves don't re-pad (and re-miss the staging cache downstream)
+        import weakref as _wr
+
+        global _STAGING_CACHE
+        if _STAGING_CACHE is None:
+            _STAGING_CACHE = {}
+        pad_key = ("padded", n_pad)
+        entry = _STAGING_CACHE.get(id(A))
+        if entry is not None and entry[0]() is A and pad_key in entry[1]:
+            A = entry[1][pad_key]
+        else:
+            if entry is None or entry[0]() is not A:
+                aid = id(A)
+                entry = (
+                    _wr.ref(A, lambda _, i=aid: _STAGING_CACHE.pop(i, None)),
+                    {},
+                )
+                _STAGING_CACHE[id(A)] = entry
+            A_padded = _pad_operator(A, n_pad)
+            entry[1][pad_key] = A_padded
+            A = A_padded
         M = _pad_prec(M, n_pad)
 
     A_out, A_in = prepare_operators(A, cfg)
