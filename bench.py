@@ -32,17 +32,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_solve(A, b, cfg, repeats=3):
+def run_solve(A, b, cfg, repeats=3, M=None):
     from gmres_tpu import solve
 
     # warm-up run compiles every cycle variant; timed runs measure steady
     # state; median over repeats (the reference medians over seeds the same
     # way, find-min.py:14-18)
-    res = solve(A, b, cfg)
+    res = solve(A, b, cfg, M=M)
     walls = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        res = solve(A, b, cfg)
+        res = solve(A, b, cfg, M=M)
         walls.append(time.perf_counter() - t0)
     walls.sort()
     return res, walls[len(walls) // 2]
@@ -59,6 +59,7 @@ def main():
     ap.add_argument("--orth", default="cgsr")
     ap.add_argument("--prec", default="identity")
     ap.add_argument("--max-restarts", type=int, default=80)
+    ap.add_argument("--jacobi-steps", type=int, default=3, dest="jacobi_steps")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -94,6 +95,7 @@ def main():
     common = dict(
         orth=args.orth,
         precond=args.prec,
+        jacobi_steps=args.jacobi_steps,
         restart_length=args.rlen,
         tol=args.tol,
         max_restarts=args.max_restarts,
@@ -102,7 +104,14 @@ def main():
     results = {}
     for mode in ("baseline", "mixed"):
         cfg = GmresConfig(precision=PrecisionSpec.from_mode(mode), **common)
-        res, wall = run_solve(A_staged, b, cfg, repeats=args.repeats)
+        # ILU factors need the CSR structure; build from the original
+        # matrix (setup phase, like the reference's separately-timed "ilu")
+        M = None
+        if args.prec in ("ilu", "ilu_jacobi"):
+            from gmres_tpu.precond.build import build_preconditioner
+
+            M = build_preconditioner(A, cfg)
+        res, wall = run_solve(A_staged, b, cfg, repeats=args.repeats, M=M)
         err = float(np.linalg.norm(np.asarray(res.x, dtype=np.float64) - x_true))
         results[mode] = (res, wall)
         log(f"{mode}: converged={res.converged} restarts={res.restarts} "
