@@ -148,6 +148,27 @@ def main(argv=None) -> int:
         print(f"cgs  {dt_name} (m={args.vcols}): {t*1e6:8.1f} us  "
               f"{bytes_per/t/1e9:7.1f} GB/s", file=sys.stderr)
 
+        # fused Pallas CGSR step (3 basis sweeps) where supported
+        if dt == jnp.float32:
+            from gmres_tpu.ops.pallas.orth_kernel import (
+                cgsr2_pallas,
+                profitable,
+            )
+
+            if profitable(V):
+                def cgsr_step(w):
+                    h, w2, hn = cgsr2_pallas(V, w)
+                    return w2 / (hn + 1)
+
+                run = device_loop(cgsr_step, reps)
+                t = time_op(run, (xd,), reps)
+                bytes_per = 3 * args.vcols * n * jnp.dtype(dt).itemsize
+                results[f"cgsr2_pallas_{dt_name}"] = dict(
+                    seconds=t, gb_per_s=bytes_per / t / 1e9
+                )
+                print(f"cgsr2 pallas {dt_name}: {t*1e6:8.1f} us  "
+                      f"{bytes_per/t/1e9:7.1f} GB/s", file=sys.stderr)
+
     if args.json:
         print(json.dumps(results))
     return 0
