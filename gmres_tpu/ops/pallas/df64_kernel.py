@@ -1,0 +1,210 @@
+"""Double-float (two-fp32) DIA SpMV — emulated-fp64 Pallas kernel.
+
+TPU has no fp64 ALUs; XLA emulates fp64 in software (the honest `baseline`
+mode).  This kernel implements the alternative SURVEY.md §7.3 calls out:
+carry each fp64 value as an unevaluated pair of fp32s (hi + lo, Dekker /
+Knuth error-free transformations) and run the whole SpMV on the VPU in
+fp32.  Accuracy is ~2^-48 relative (vs fp64's 2^-53) — far below the
+fp32 inner loop's 2^-24, so it is a drop-in for the mixed scheme's outer
+residual; it is NOT bit-identical to IEEE fp64 (no native rounding), which
+is why the `baseline` mode keeps XLA's emulation.
+
+Error-free transforms need strict fp32 semantics; Veltkamp splitting (no
+FMA assumed) keeps the error terms exact under Mosaic's default float
+behavior.  The accuracy test (tests/test_df64.py) guards against compiler
+contraction regressions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 32 * 1024
+_LANES = 128
+_SPLIT = 4097.0  # 2^12 + 1 (Veltkamp split for fp32); python float
+# literal so it folds into the kernel ops instead of being a captured array
+
+
+def split_f64(x) -> tuple[jax.Array, jax.Array]:
+    """fp64 array -> (hi, lo) fp32 pair with x == hi + lo exactly
+    (up to double rounding of the tail)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def merge_f64(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_two_sum(a, b):
+    # requires |a| >= |b|
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def _two_prod(a, b):
+    p = a * b
+    ca = _SPLIT * a
+    a_hi = ca - (ca - a)
+    a_lo = a - a_hi
+    cb = _SPLIT * b
+    b_hi = cb - (cb - b)
+    b_lo = b - b_hi
+    err = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, err
+
+
+def _df_mul(ah, al, bh, bl):
+    p, e = _two_prod(ah, bh)
+    e = e + (ah * bl + al * bh)
+    return _quick_two_sum(p, e)
+
+
+def _df_add(ah, al, bh, bl):
+    s, e = _two_sum(ah, bh)
+    e = e + al + bl
+    return _quick_two_sum(s, e)
+
+
+def _dia_df64_kernel(dh_ref, dl_ref, x_hbm_h, x_hbm_l, yh_ref, yl_ref,
+                     xh_vmem, xl_vmem, semh, seml, *, offsets, pad, block):
+    i = pl.program_id(0)
+    start = i * block
+    cph = pltpu.make_async_copy(
+        x_hbm_h.at[pl.ds(start, block + 2 * pad)], xh_vmem, semh
+    )
+    cpl = pltpu.make_async_copy(
+        x_hbm_l.at[pl.ds(start, block + 2 * pad)], xl_vmem, seml
+    )
+    cph.start()
+    cpl.start()
+    cph.wait()
+    cpl.wait()
+
+    acc_h = jnp.zeros((block,), jnp.float32)
+    acc_l = jnp.zeros((block,), jnp.float32)
+    for d, off in enumerate(offsets):
+        ah = dh_ref[d, :]
+        al = dl_ref[d, :]
+        xh = xh_vmem[pl.ds(pad + off, block)]
+        xl = xl_vmem[pl.ds(pad + off, block)]
+        ph, plo = _df_mul(ah, al, xh, xl)
+        acc_h, acc_l = _df_add(acc_h, acc_l, ph, plo)
+    yh_ref[:] = acc_h
+    yl_ref[:] = acc_l
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def _dia_spmv_df64(dh, dl, xh_padded, xl_padded, offsets, interpret=False):
+    D, n_pad = dh.shape
+    pad = (xh_padded.shape[0] - n_pad) // 2
+    block = min(_BLOCK, n_pad)
+    grid = n_pad // block
+    kernel = functools.partial(
+        _dia_df64_kernel, offsets=offsets, pad=pad, block=block
+    )
+    with jax.enable_x64(False):
+        yh, yl = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((D, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block + 2 * pad,), jnp.float32),
+                pltpu.VMEM((block + 2 * pad,), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(dh, dl, xh_padded, xl_padded)
+    return yh, yl
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data_hi", "data_lo"),
+    meta_fields=("offsets", "n_rows", "n_cols", "nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class DF64Dia:
+    """Pre-split double-float view of a DIAMatrix (fp64 values).  A pytree,
+    so it threads through jit like the other operator containers."""
+
+    data_hi: jax.Array
+    data_lo: jax.Array
+    offsets: tuple
+    n_rows: int
+    n_cols: int
+    nnz: int
+
+    @staticmethod
+    def from_dia(A) -> "DF64Dia":
+        dh, dl = split_f64(jnp.asarray(A.data, jnp.float64))
+        return DF64Dia(
+            data_hi=jax.device_put(dh),
+            data_lo=jax.device_put(dl),
+            offsets=tuple(A.offsets),
+            n_rows=A.n_rows,
+            n_cols=A.n_cols,
+            nnz=A.nnz,
+        )
+
+    @property
+    def vals(self):
+        """Frobenius-norm-compatible values view (fp64 reconstruction)."""
+        return merge_f64(self.data_hi, self.data_lo).reshape(-1)
+
+
+def dia_spmv_df64(A, x, interpret: bool = False):
+    """y = A @ x with double-float arithmetic.
+
+    ``A``: DF64Dia (pre-split) or a DIAMatrix with fp64 data.
+    ``x``: fp64 vector.  Returns an fp64 vector accurate to ~2^-48."""
+    if not isinstance(A, DF64Dia):
+        A = DF64Dia.from_dia(A)
+    n = A.n_rows
+    block = min(_BLOCK, _round_up(n, _LANES * 8))
+    n_pad = _round_up(n, block)
+    pad = _round_up(max(1, max(abs(o) for o in A.offsets)), _LANES)
+
+    dh, dl = A.data_hi, A.data_lo
+    if n_pad != n:
+        dh = jnp.pad(dh, ((0, 0), (0, n_pad - n)))
+        dl = jnp.pad(dl, ((0, 0), (0, n_pad - n)))
+    xh, xl = split_f64(jnp.asarray(x, jnp.float64))
+    xh = jnp.pad(xh, (pad, pad + (n_pad - n)))
+    xl = jnp.pad(xl, (pad, pad + (n_pad - n)))
+
+    yh, yl = _dia_spmv_df64(dh, dl, xh, xl, A.offsets, interpret=interpret)
+    return merge_f64(yh[:n], yl[:n])

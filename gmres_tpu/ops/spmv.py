@@ -53,6 +53,12 @@ def spmv(
 
         return halo_spmv(A, x, axis_name)
 
+    if hasattr(A, "data_hi"):  # DF64Dia: double-float emulated-fp64 kernel
+        from gmres_tpu.ops.pallas.df64_kernel import dia_spmv_df64
+
+        xg = x if x_is_global else gather_operand(x, axis_name)
+        return dia_spmv_df64(A, xg)
+
     xg = x if x_is_global else gather_operand(x, axis_name)
     if isinstance(A, DIAMatrix):
         return dia_spmv(A, xg)

@@ -473,6 +473,14 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
     # jitted cycle re-uploads the whole matrix on every call.
     A_in = jax.device_put(A_in)
     A_out = A_in if same else jax.device_put(A_out)
+    # NOTE: a double-float (two-fp32) Pallas SpMV exists for the fp64 outer
+    # residual (ops/pallas/df64_kernel.py: 2^-48-accurate, 22x faster than
+    # XLA's fp64 emulation in isolation), but swapping it in HERE was
+    # measured net-negative end-to-end: the per-cycle split/pad/merge
+    # wrapper runs in emulated fp64 and costs more than the kernel saves
+    # (mixed 1.15s -> 1.33s on the headline bench).  Integrating it
+    # requires keeping x itself in split form across the cycle — round-2
+    # work; the kernel + accuracy tests stay as the building block.
     if entry is None or entry[0]() is not A:
         aid = id(A)
         entry = (weakref.ref(A, lambda _, i=aid: _STAGING_CACHE.pop(i, None)), {})

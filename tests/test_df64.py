@@ -1,0 +1,43 @@
+"""Double-float DIA SpMV accuracy vs true fp64 (interpret mode).
+
+Guards the error-free transformations against compiler contraction /
+reassociation: a regression shows up as relative error jumping from
+~1e-14 toward fp32's ~1e-7.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmres_tpu.io.synth import convection_diffusion_2d
+from gmres_tpu.ops.dia import dia_spmv, from_csr
+from gmres_tpu.ops.pallas.df64_kernel import dia_spmv_df64, merge_f64, split_f64
+
+
+def test_split_merge_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096) * np.exp(rng.uniform(-20, 20, 4096))
+    hi, lo = split_f64(jnp.asarray(x))
+    back = np.asarray(merge_f64(hi, lo))
+    np.testing.assert_allclose(back, x, rtol=4e-15)
+
+
+def test_df64_spmv_accuracy():
+    A = from_csr(convection_diffusion_2d(17, beta=3.0))  # n=289
+    assert A is not None
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(A.n_rows)
+
+    y64 = np.asarray(dia_spmv(A.astype(jnp.float64), jnp.asarray(x)),
+                     dtype=np.float64)
+    ydf = np.asarray(dia_spmv_df64(A, jnp.asarray(x), interpret=True))
+    y32 = np.asarray(
+        dia_spmv(A.astype(jnp.float32), jnp.asarray(x, dtype=jnp.float32))
+    ).astype(np.float64)
+
+    scale = np.max(np.abs(y64))
+    err_df = np.max(np.abs(ydf - y64)) / scale
+    err_f32 = np.max(np.abs(y32 - y64)) / scale
+    # double-float must be dramatically more accurate than fp32
+    assert err_df < 1e-12, f"df64 error too large: {err_df}"
+    assert err_df < err_f32 * 1e-4, (err_df, err_f32)
