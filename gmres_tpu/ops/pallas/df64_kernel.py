@@ -151,6 +151,132 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _residual_kernel(dh_ref, dl_ref, bh_ref, bl_ref, x_hbm_h, x_hbm_l,
+                     rh_ref, rl_ref, acc_ref, xh_vmem, xl_vmem, semh, seml,
+                     *, offsets, pad, block):
+    """r = b - A x in double-float, plus ||r||^2 and ||x||^2 partials
+    (lanes 0 and 1 of the accumulator) — the mixed scheme's entire fp64
+    outer-residual phase in one sweep."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    start = i * block
+    cph = pltpu.make_async_copy(
+        x_hbm_h.at[pl.ds(start, block + 2 * pad)], xh_vmem, semh
+    )
+    cpl = pltpu.make_async_copy(
+        x_hbm_l.at[pl.ds(start, block + 2 * pad)], xl_vmem, seml
+    )
+    cph.start()
+    cpl.start()
+    cph.wait()
+    cpl.wait()
+
+    acc_h = jnp.zeros((block,), jnp.float32)
+    acc_l = jnp.zeros((block,), jnp.float32)
+    for d, off in enumerate(offsets):
+        ph, plo = _df_mul(
+            dh_ref[d, :], dl_ref[d, :],
+            xh_vmem[pl.ds(pad + off, block)], xl_vmem[pl.ds(pad + off, block)],
+        )
+        acc_h, acc_l = _df_add(acc_h, acc_l, ph, plo)
+    # r = b - y  (negate y, then df-add)
+    rh, rl = _df_add(bh_ref[0, :], bl_ref[0, :], -acc_h, -acc_l)
+    rh_ref[0, :] = rh
+    rl_ref[0, :] = rl
+
+    xh_c = xh_vmem[pl.ds(pad, block)]  # center block (no halo double count)
+    r_ss = jnp.sum(rh * rh)
+    x_ss = jnp.sum(xh_c * xh_c)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+    acc_ref[0, :] += jnp.where(lane == 0, r_ss, jnp.where(lane == 1, x_ss, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def residual_df64(dh, dl, bh, bl, xh_padded, xl_padded, offsets,
+                  interpret=False):
+    """(r_hi, r_lo, ||r||, ||x||) for r = b - A x, all inputs split fp32
+    pairs; the operand x is pre-padded with the halo like dia_spmv_df64."""
+    D, n_pad = dh.shape
+    pad = (xh_padded.shape[0] - n_pad) // 2
+    block = min(_BLOCK, n_pad)
+    grid = n_pad // block
+    kernel = functools.partial(
+        _residual_kernel, offsets=offsets, pad=pad, block=block
+    )
+    with jax.enable_x64(False):
+        rh, rl, acc = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((D, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block + 2 * pad,), jnp.float32),
+                pltpu.VMEM((block + 2 * pad,), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(dh, dl, bh[None, :], bl[None, :], xh_padded, xl_padded)
+    r_norm = jnp.sqrt(acc[0, 0])
+    x_norm = jnp.sqrt(acc[0, 1])
+    return rh[0], rl[0], r_norm, x_norm
+
+
+def _axpy_kernel(xh_ref, xl_ref, inc_ref, oh_ref, ol_ref):
+    """(xh, xl) += inc (fp32 solution increment), in double-float."""
+    oh, ol = _df_add(xh_ref[0, :], xl_ref[0, :], inc_ref[0, :],
+                     jnp.zeros_like(inc_ref[0, :]))
+    oh_ref[0, :] = oh
+    ol_ref[0, :] = ol
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def axpy_df64(xh, xl, inc, interpret=False):
+    n = xh.shape[0]
+    block = min(_BLOCK, n)
+    grid = n // block
+    with jax.enable_x64(False):
+        oh, ol = pl.pallas_call(
+            _axpy_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, n), jnp.float32),
+                jax.ShapeDtypeStruct((1, n), jnp.float32),
+            ),
+            interpret=interpret,
+        )(xh[None, :], xl[None, :], inc[None, :])
+    return oh[0], ol[0]
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("data_hi", "data_lo"),

@@ -183,13 +183,46 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
     out_dt = jnp.dtype(cfg.precision.outer)
     m = cfg.m
 
-    # r = b - A x in the outer dtype (gmres.cpp:62-63, 172-174)
-    r = b - spmv(A_out, x, axis)
-    w0 = r.astype(in_dt)
-    r_norm = nrm2(w0, axis).astype(_f64)
-    w0 = typesafe_apply(M, w0, axis)
-    beta = nrm2(w0, axis)
-    x_norm = nrm2(x, axis).astype(_f64)
+    # Double-float outer path: when A_out is a DF64Dia, the whole fp64
+    # phase (residual, norms, x accumulation) runs as two-fp32 Pallas
+    # kernels — x and b are carried as (hi, lo) pairs so no emulated-fp64
+    # array op ever executes (see ops/pallas/df64_kernel.py).
+    df64 = hasattr(A_out, "data_hi")
+    unsplit = False
+    if df64:
+        from gmres_tpu.ops.pallas.df64_kernel import (
+            axpy_df64,
+            merge_f64,
+            residual_df64,
+            split_f64,
+        )
+
+        if not isinstance(b, (tuple, list)):
+            b = split_f64(b)
+        if not isinstance(x, (tuple, list)):
+            unsplit = True
+            x = split_f64(x)
+        halo = -(-max(1, max(abs(o) for o in A_out.offsets)) // 128) * 128
+        xh_p = jnp.pad(x[0], (halo, halo))
+        xl_p = jnp.pad(x[1], (halo, halo))
+        rh, rl, r_norm32, x_norm32 = residual_df64(
+            A_out.data_hi, A_out.data_lo, b[0], b[1], xh_p, xl_p,
+            A_out.offsets,
+        )
+        # w0 = fp32 demote of the fp64 residual == its hi component
+        w0 = rh.astype(in_dt)
+        r_norm = r_norm32.astype(_f64)
+        x_norm = x_norm32.astype(_f64)
+        w0 = typesafe_apply(M, w0, axis)
+        beta = nrm2(w0, axis)
+    else:
+        # r = b - A x in the outer dtype (gmres.cpp:62-63, 172-174)
+        r = b - spmv(A_out, x, axis)
+        w0 = r.astype(in_dt)
+        r_norm = nrm2(w0, axis).astype(_f64)
+        w0 = typesafe_apply(M, w0, axis)
+        beta = nrm2(w0, axis)
+        x_norm = nrm2(x, axis).astype(_f64)
 
     rel_initial = r_norm / (b_norm + a_norm * x_norm)
     converged0 = rel_initial <= cfg.tol
@@ -205,7 +238,7 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
     else:
         restart_tol = pstate.restart_tol
 
-    n_local = x.shape[0]
+    n_local = x[0].shape[0] if df64 else x.shape[0]
 
     def run(x):
         final = _inner_cycle(cfg, A_in, M, w0, beta, restart_tol, pstate,
@@ -217,7 +250,10 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
         s_fin = beta * final["Q"][:, 0]
         y = trsv_upper_padded(final["H"][:m, :m], s_fin[:m], k_fin)
         x_inc = jnp.matmul(y, final["V"][:m], precision=_HI)
-        x_new = x + x_inc.astype(out_dt)
+        if df64:
+            x_new = axpy_df64(x[0], x[1], x_inc.astype(jnp.float32))
+        else:
+            x_new = x + x_inc.astype(out_dt)
         arnoldi_final = jnp.abs(s_fin[jnp.minimum(k_fin, m)]).astype(_f64)
         new_pstate = PolicyState(
             is_first=jnp.asarray(False),
@@ -241,6 +277,8 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
         )
 
     x_new, k_fin, arnoldi_final, new_pstate = jax.lax.cond(converged0, skip, run, x)
+    if df64 and unsplit:
+        x_new = merge_f64(*x_new)
 
     info = CycleInfo(
         converged0=converged0,
@@ -430,7 +468,7 @@ def _pad_prec(M, n_pad: int):
 _STAGING_CACHE = None  # weakref.WeakKeyDictionary, created lazily
 
 
-def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
+def prepare_operators(A: CSRMatrix, cfg: GmresConfig, allow_df64: bool = True):
     """Stage the matrix into (outer, inner) dtypes.  When the dtypes match
     (all baseline-style modes) one array serves both roles, like the
     reference's single ``A_type``; the mixed mode keeps both
@@ -452,7 +490,8 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
 
     out_dt = jnp.dtype(cfg.precision.outer)
     in_dt = cfg.precision.inner_dtype
-    key = (cfg.auto_format and cfg.axis_name is None, str(out_dt), str(in_dt))
+    key = (cfg.auto_format and cfg.axis_name is None, str(out_dt), str(in_dt),
+           allow_df64)
     entry = _STAGING_CACHE.get(id(A))
     if entry is not None and entry[0]() is A and key in entry[1]:
         return entry[1][key]
@@ -473,14 +512,26 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig):
     # jitted cycle re-uploads the whole matrix on every call.
     A_in = jax.device_put(A_in)
     A_out = A_in if same else jax.device_put(A_out)
-    # NOTE: a double-float (two-fp32) Pallas SpMV exists for the fp64 outer
-    # residual (ops/pallas/df64_kernel.py: 2^-48-accurate, 22x faster than
-    # XLA's fp64 emulation in isolation), but swapping it in HERE was
-    # measured net-negative end-to-end: the per-cycle split/pad/merge
-    # wrapper runs in emulated fp64 and costs more than the kernel saves
-    # (mixed 1.15s -> 1.33s on the headline bench).  Integrating it
-    # requires keeping x itself in split form across the cycle — round-2
-    # work; the kernel + accuracy tests stay as the building block.
+    # Mixed-style staging (fp64 outer over a lower-precision inner): A_out
+    # only ever computes the outer residual, so stage it as a double-float
+    # pair and run that phase through the two-fp32 Pallas kernels
+    # (ops/pallas/df64_kernel.py: ~2^-48-accurate, 22x faster than XLA's
+    # fp64 emulation).  x and b are then carried in split form across the
+    # cycle (restart_cycle_impl), so no emulated-fp64 array op runs.
+    # The uniform-fp64 `baseline` mode keeps true IEEE fp64.
+    if (
+        allow_df64
+        and not same
+        and out_dt == jnp.float64
+        and cfg.use_pallas
+        and cfg.axis_name is None
+        and jax.default_backend() == "tpu"
+        and hasattr(A_out, "offsets")
+        and not hasattr(A_out, "data_hi")
+    ):
+        from gmres_tpu.ops.pallas.df64_kernel import DF64Dia
+
+        A_out = DF64Dia.from_dia(A_out)
     if entry is None or entry[0]() is not A:
         aid = id(A)
         entry = (weakref.ref(A, lambda _, i=aid: _STAGING_CACHE.pop(i, None)), {})
@@ -598,7 +649,8 @@ def solve(
             A = A_padded
         M = _pad_prec(M, n_pad)
 
-    A_out, A_in = prepare_operators(A, cfg)
+    # checkpoint persistence stores x as one array; keep plain fp64 there
+    A_out, A_in = prepare_operators(A, cfg, allow_df64=checkpoint is None)
     M = jax.device_put(M)  # one upload, not one per jitted cycle call
     prec_seconds = time.perf_counter() - t0
 
@@ -613,14 +665,26 @@ def solve(
     # one-time norms (gmres.cpp:51-57, 162-168) — one fused dispatch
     b_norm, minvb_norm, a_norm = _setup_norms(M, b, A_in.vals, in_dt)  # Frobenius norm of inner-dtype values
 
+    # double-float outer path: carry b and x as (hi, lo) fp32 pairs so the
+    # cycle never executes an emulated-fp64 array op (restart_cycle_impl)
+    df64_active = hasattr(A_out, "data_hi")
+    b_dev, x_dev = b, x
+    if df64_active:
+        from gmres_tpu.ops.pallas.df64_kernel import merge_f64, split_f64
+
+        b_dev = split_f64(b)
+        x_dev = split_f64(x)
+
     def chunk_call(x, pstate, chunk):
         return _multi_cycle(
-            cfg, chunk, A_out, A_in, M, b, x, b_norm, minvb_norm, a_norm,
+            cfg, chunk, A_out, A_in, M, b_dev, x, b_norm, minvb_norm, a_norm,
             pstate
         )
 
-    result = drive_restarts(chunk_call, x, cfg, record_history, progress,
+    result = drive_restarts(chunk_call, x_dev, cfg, record_history, progress,
                             checkpoint=checkpoint)
+    if df64_active:
+        result.x = merge_f64(*result.x)
     result.prec_seconds = prec_seconds
     result.solve_seconds = time.perf_counter() - t1
 
