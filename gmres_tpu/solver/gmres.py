@@ -528,6 +528,10 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig, allow_df64: bool = True):
         and jax.default_backend() == "tpu"
         and hasattr(A_out, "offsets")
         and not hasattr(A_out, "data_hi")
+        # same size gates as the other Pallas fast paths: bandwidth-relevant
+        # problems with block-aligned n (solve() pads to _ALIGN first)
+        and A_out.n_rows >= 128 * 1024
+        and A_out.n_rows % (32 * 1024) == 0
     ):
         from gmres_tpu.ops.pallas.df64_kernel import DF64Dia
 
