@@ -172,28 +172,29 @@ _PALLAS_DISABLED = bool(os.environ.get("GMRES_TPU_NO_PALLAS"))
 _PALLAS_MIN_ROWS = 128 * 1024
 
 
-def _pallas_profitable(A: DIAMatrix, x: jax.Array) -> bool:
+def _pallas_profitable(A: DIAMatrix, x: jax.Array, use_pallas: bool = True) -> bool:
     """Route to the fused Pallas kernel where it beats XLA: fp32 on TPU at
     bandwidth-relevant sizes (measured 11x on v5e: 152 vs 14 GB/s —
     XLA re-streams x once per diagonal; the kernel stages each block's
     window into VMEM once).  bf16 stays on XLA (its shifted-slice fusion
-    is already near-bandwidth there) and fp64 has no Mosaic support."""
-    from gmres_tpu.ops.pallas import orth_kernel as _ok
+    is already near-bandwidth there) and fp64 has no Mosaic support.
 
+    ``use_pallas`` is threaded per-call from ``GmresConfig.use_pallas``
+    (no module state — concurrent solves with different configs are safe)."""
     return (
         not _PALLAS_DISABLED
-        and not _ok.force_disabled
+        and use_pallas
         and A.data.dtype == jnp.float32
         and A.n_rows >= _PALLAS_MIN_ROWS
         and jax.default_backend() == "tpu"
     )
 
 
-def dia_spmv(A: DIAMatrix, x: jax.Array) -> jax.Array:
+def dia_spmv(A: DIAMatrix, x: jax.Array, use_pallas: bool = True) -> jax.Array:
     """y = A @ x as one fused pass over the diagonals (Pallas kernel on the
     TPU fp32 fast path, shifted elementwise products under XLA otherwise)."""
     x = x.astype(A.data.dtype)
-    if _pallas_profitable(A, x):
+    if _pallas_profitable(A, x, use_pallas):
         from gmres_tpu.ops.pallas.spmv_kernel import dia_spmv_pallas
 
         return dia_spmv_pallas(A, x)

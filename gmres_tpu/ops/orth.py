@@ -13,8 +13,10 @@ SURVEY.md §2.4), recast for a row-stored Krylov basis ``V`` of static shape
 - CGSR re-runs the CGS pass ``orth_steps-1`` more times, accumulating the
   correction weights into h (``Orthogonalization.hpp:129-134``).
 
-All products use HIGHEST precision so fp32 stays true fp32 on the MXU
-(no bf16 3-pass decomposition surprises in convergence behavior).
+Accumulation happens in (at least) float32 regardless of the storage dtype:
+bfloat16 bases are upcast around the product/reduction exactly as the
+fused Pallas kernels do in VMEM — accumulating a length-n reduction in
+bf16 would destroy orthogonality.
 """
 
 from __future__ import annotations
@@ -25,6 +27,12 @@ import jax.numpy as jnp
 from gmres_tpu.ops.blas import dot
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _acc(x: jax.Array) -> jax.Array:
+    """Upcast sub-fp32 storage to fp32 for accumulation (fp32/fp64 pass
+    through — jnp reductions already accumulate exactly in those dtypes)."""
+    return x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
 
 
 def _masked_gram(V: jax.Array, w: jax.Array, k, axis_name, mask=True):
@@ -40,7 +48,7 @@ def _masked_gram(V: jax.Array, w: jax.Array, k, axis_name, mask=True):
     a measurable fixed cost on TPU, so dead ops matter).  The orth-loss
     recurrence reads V *after* the row write and must keep the mask.
     """
-    u = jnp.sum(V * w[None, :], axis=1)
+    u = jnp.sum(_acc(V) * _acc(w)[None, :], axis=1).astype(V.dtype)
     if mask:
         u = jnp.where(jnp.arange(V.shape[0]) <= k, u, 0)
     if axis_name is not None:
@@ -48,7 +56,7 @@ def _masked_gram(V: jax.Array, w: jax.Array, k, axis_name, mask=True):
     return u
 
 
-def cgs(V, k, w, axis_name=None, assume_zero_tail=False):
+def cgs(V, k, w, axis_name=None, assume_zero_tail=False, use_pallas=True):
     """Classical Gram-Schmidt (``Orthogonalization.hpp:76-89``).
 
     ``assume_zero_tail=True`` skips the j<=k masking; only valid when rows
@@ -59,17 +67,17 @@ def cgs(V, k, w, axis_name=None, assume_zero_tail=False):
     if assume_zero_tail:
         from gmres_tpu.ops.pallas.orth_kernel import _gram, _update, profitable
 
-        if profitable(V):
+        if profitable(V, use_pallas):
             u = _gram(V, w)
             if axis_name is not None:
                 u = jax.lax.psum(u, axis_name)
             return u, _update(V, w, u)
     u = _masked_gram(V, w, k, axis_name, mask=not assume_zero_tail)
-    w = w - jnp.sum(u[:, None] * V, axis=0)
+    w = (_acc(w) - jnp.sum(_acc(u)[:, None] * _acc(V), axis=0)).astype(w.dtype)
     return u, w
 
 
-def mgs(V, k, w, axis_name=None, assume_zero_tail=False):
+def mgs(V, k, w, axis_name=None, assume_zero_tail=False, use_pallas=True):
     """Modified Gram-Schmidt (``Orthogonalization.hpp:91-107``): sequential
     dot+naxpy pairs, one per basis vector.
 
@@ -81,7 +89,7 @@ def mgs(V, k, w, axis_name=None, assume_zero_tail=False):
     if assume_zero_tail and axis_name is None:
         from gmres_tpu.ops.pallas.orth_kernel import _mgs, mgs_profitable
 
-        if mgs_profitable(V):
+        if mgs_profitable(V, use_pallas):
             return _mgs(V, w)
     m1 = V.shape[0]
     h = jnp.zeros((m1,), dtype=V.dtype)
@@ -89,36 +97,45 @@ def mgs(V, k, w, axis_name=None, assume_zero_tail=False):
     def body(j, carry):
         h, w = carry
         vj = V[j]
-        hj = dot(w, vj, axis_name)
-        w = w - hj * vj
+        if V.dtype == jnp.bfloat16:
+            hj_f = jnp.sum(_acc(w) * _acc(vj))
+            if axis_name is not None:
+                hj_f = jax.lax.psum(hj_f, axis_name)
+            hj = hj_f.astype(V.dtype)
+        else:
+            hj = dot(w, vj, axis_name)
+        w = (_acc(w) - _acc(hj) * _acc(vj)).astype(w.dtype)
         return h.at[j].set(hj), w
 
     h, w = jax.lax.fori_loop(0, k + 1, body, (h, w))
     return h, w
 
 
-def cgsr(V, k, w, axis_name=None, orth_steps: int = 2, assume_zero_tail=False):
+def cgsr(V, k, w, axis_name=None, orth_steps: int = 2, assume_zero_tail=False,
+         use_pallas=True):
     """CGS with re-orthogonalization (``Orthogonalization.hpp:109-136``)."""
-    h, w = cgs(V, k, w, axis_name, assume_zero_tail)
+    h, w = cgs(V, k, w, axis_name, assume_zero_tail, use_pallas)
     for _ in range(orth_steps - 1):
-        u, w = cgs(V, k, w, axis_name, assume_zero_tail)
+        u, w = cgs(V, k, w, axis_name, assume_zero_tail, use_pallas)
         h = h + u
     return h, w
 
 
 def orthogonalize(kind: str, V, k, w, axis_name=None, orth_steps: int = 2,
-                  assume_zero_tail=False):
+                  assume_zero_tail=False, use_pallas=True):
     if kind == "cgs":
-        return cgs(V, k, w, axis_name, assume_zero_tail)
+        return cgs(V, k, w, axis_name, assume_zero_tail, use_pallas)
     if kind == "mgs":
-        return mgs(V, k, w, axis_name, assume_zero_tail)
+        return mgs(V, k, w, axis_name, assume_zero_tail, use_pallas)
     if kind == "cgsr":
-        return cgsr(V, k, w, axis_name, orth_steps, assume_zero_tail)
+        return cgsr(V, k, w, axis_name, orth_steps, assume_zero_tail,
+                    use_pallas)
     raise ValueError(f"unknown orthogonalization {kind!r}")
 
 
 def orthonormalize_step(kind: str, V, k, w, axis_name=None,
-                        orth_steps: int = 2, assume_zero_tail=False):
+                        orth_steps: int = 2, assume_zero_tail=False,
+                        use_pallas=True):
     """Orthogonalize + the norm of the result: ``(h_col, w_orth, h_next)``.
 
     The Arnoldi loop always needs ``||w_orth||`` right after the
@@ -135,7 +152,7 @@ def orthonormalize_step(kind: str, V, k, w, axis_name=None,
             profitable,
         )
 
-        if profitable(V):
+        if profitable(V, use_pallas):
             if kind == "cgsr" and orth_steps == 2:
                 return cgsr2_pallas(V, w, axis_name)
             if kind == "cgs":
@@ -147,7 +164,13 @@ def orthonormalize_step(kind: str, V, k, w, axis_name=None,
                     ss = jax.lax.psum(ss, axis_name)
                 return u, w2, jnp.sqrt(ss).astype(V.dtype)
     h, w = orthogonalize(kind, V, k, w, axis_name, orth_steps,
-                         assume_zero_tail)
+                         assume_zero_tail, use_pallas)
     from gmres_tpu.ops.blas import nrm2
 
+    if V.dtype == jnp.bfloat16:
+        wf = _acc(w)
+        ss = jnp.sum(wf * wf)
+        if axis_name is not None:
+            ss = jax.lax.psum(ss, axis_name)
+        return h, w, jnp.sqrt(ss).astype(V.dtype)
     return h, w, nrm2(w, axis_name)

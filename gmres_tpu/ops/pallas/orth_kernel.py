@@ -297,13 +297,13 @@ def _mgs(V, w, interpret=False):
     return h[0, :m1].astype(V.dtype), w_out.reshape(n)
 
 
-def mgs_profitable(V) -> bool:
+def mgs_profitable(V, use_pallas: bool = True) -> bool:
     """The MGS kernel keeps w plus one V row (double-buffered) in VMEM:
     ~12 MB at n=1M fp32 — the ceiling.  Above it, the rolled dot/axpy
     path applies."""
     import os
 
-    if force_disabled or os.environ.get("GMRES_TPU_NO_PALLAS"):
+    if not use_pallas or os.environ.get("GMRES_TPU_NO_PALLAS"):
         return False
     m1, n = V.shape
     itemsize = jnp.dtype(V.dtype).itemsize
@@ -325,18 +325,17 @@ def cgs_pass_pallas(V, w, interpret: bool = False):
     return u, _update(V, w, u, interpret=interpret)
 
 
-# Per-process opt-out, set from GmresConfig.use_pallas by the solver (the
-# config is a static jit argument, so traces specialize consistently) or
-# by the GMRES_TPU_NO_PALLAS env var.
-force_disabled = False
-
-
-def profitable(V, axis_name_irrelevant=None) -> bool:
+def profitable(V, use_pallas: bool = True) -> bool:
     """Route fp32 basis ops through the Pallas kernels on TPU at sizes
-    where kernel launch + padding costs are amortized."""
+    where kernel launch + padding costs are amortized.
+
+    ``use_pallas`` is threaded from ``GmresConfig.use_pallas`` (a static
+    jit argument) by every caller — per-call, not module state, so two
+    solves with different configs cannot cross-talk.  The
+    ``GMRES_TPU_NO_PALLAS`` env var remains a process-wide escape hatch."""
     import os
 
-    if force_disabled or os.environ.get("GMRES_TPU_NO_PALLAS"):
+    if not use_pallas or os.environ.get("GMRES_TPU_NO_PALLAS"):
         return False
     m1, n = V.shape
     return (

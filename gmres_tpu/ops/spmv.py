@@ -37,6 +37,7 @@ def spmv(
     x: jax.Array,
     axis_name: str | None = None,
     x_is_global: bool = False,
+    use_pallas: bool = True,
 ) -> jax.Array:
     """y = A @ x in A's dtype.  Dispatches on the operator format:
     DIA (shifted elementwise — the TPU fast path) or CSR
@@ -51,7 +52,7 @@ def spmv(
     if hasattr(A, "halo_left"):  # HaloDIA / HaloCSR (distributed fast path)
         from gmres_tpu.parallel.halo import halo_spmv
 
-        return halo_spmv(A, x, axis_name)
+        return halo_spmv(A, x, axis_name, use_pallas)
 
     if hasattr(A, "data_hi"):  # DF64Dia: double-float emulated-fp64 kernel
         from gmres_tpu.ops.pallas.df64_kernel import dia_spmv_df64
@@ -61,7 +62,7 @@ def spmv(
 
     xg = x if x_is_global else gather_operand(x, axis_name)
     if isinstance(A, DIAMatrix):
-        return dia_spmv(A, xg)
+        return dia_spmv(A, xg, use_pallas)
     xg = xg.astype(A.vals.dtype)
     prod = A.vals * xg[A.col_idx]
     return jax.ops.segment_sum(

@@ -176,7 +176,7 @@ def _exchange_halos(x_local: jax.Array, hl: int, hr: int, P: int, axis: str):
     return jnp.concatenate(parts)
 
 
-def halo_spmv(A, x_local: jax.Array, axis: str) -> jax.Array:
+def halo_spmv(A, x_local: jax.Array, axis: str, use_pallas: bool = True) -> jax.Array:
     """Local y = A_block @ x using neighbor halo exchange.  Called inside
     shard_map; ``A`` leaves have a leading length-1 shard dim."""
     P = A.n_shards

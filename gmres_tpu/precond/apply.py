@@ -23,23 +23,26 @@ from gmres_tpu.ops.spmv import spmv
 from gmres_tpu.precond.build import IdentityPrec, ILUJacobiPrec, JacobiPrec
 
 
-def _ilu_jacobi_apply(M: ILUJacobiPrec, w: jax.Array, axis_name: str | None):
+def _ilu_jacobi_apply(M: ILUJacobiPrec, w: jax.Array, axis_name: str | None,
+                      use_pallas: bool = True):
     b = w
 
     def l_sweep(_, x):
-        return b - spmv(M.lower, x, axis_name)
+        return b - spmv(M.lower, x, axis_name, use_pallas=use_pallas)
 
     x = jax.lax.fori_loop(0, M.steps, l_sweep, b)
 
     b2 = x
 
     def u_sweep(_, x):
-        return x + M.inv_diag * (b2 - spmv(M.upper, x, axis_name))
+        return x + M.inv_diag * (b2 - spmv(M.upper, x, axis_name,
+                                           use_pallas=use_pallas))
 
     return jax.lax.fori_loop(0, M.steps, u_sweep, b2)
 
 
-def apply_preconditioner(M, w: jax.Array, axis_name: str | None = None) -> jax.Array:
+def apply_preconditioner(M, w: jax.Array, axis_name: str | None = None,
+                         use_pallas: bool = True) -> jax.Array:
     """M^{-1} w in M's dtype (casting handled by the caller's typesafe
     wrapper)."""
     if isinstance(M, IdentityPrec):
@@ -47,11 +50,12 @@ def apply_preconditioner(M, w: jax.Array, axis_name: str | None = None) -> jax.A
     if isinstance(M, JacobiPrec):
         return M.inv_diag * w
     if isinstance(M, ILUJacobiPrec):
-        return _ilu_jacobi_apply(M, w, axis_name)
+        return _ilu_jacobi_apply(M, w, axis_name, use_pallas)
     raise TypeError(f"unknown preconditioner {type(M)}")
 
 
-def typesafe_apply(M, w: jax.Array, axis_name: str | None = None) -> jax.Array:
+def typesafe_apply(M, w: jax.Array, axis_name: str | None = None,
+                   use_pallas: bool = True) -> jax.Array:
     """Apply M in its own dtype, round-tripping w if needed
     (``gmres.cpp:12-22``)."""
     if isinstance(M, IdentityPrec):
@@ -60,5 +64,7 @@ def typesafe_apply(M, w: jax.Array, axis_name: str | None = None) -> jax.Array:
         M.inv_diag.dtype if not isinstance(M, IdentityPrec) else w.dtype
     )
     if w.dtype == m_dtype:
-        return apply_preconditioner(M, w, axis_name)
-    return apply_preconditioner(M, w.astype(m_dtype), axis_name).astype(w.dtype)
+        return apply_preconditioner(M, w, axis_name, use_pallas)
+    return apply_preconditioner(
+        M, w.astype(m_dtype), axis_name, use_pallas
+    ).astype(w.dtype)

@@ -165,29 +165,42 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
     @jax.jit
     def _run_phases(state):
         def step(carry):
-            state, t, _fin, _deg = carry
+            state, t, _fin, _deg, relaxed = carry
             state, sc = _lsqr_step(A, At, state)
             sigma_min = sc["sigma_min"]
-            c1_eff = jnp.where(sigma_min / sigma_max <= c4, c1_prime, c1)
+            # The c4-triggered switch to c1' is PERMANENT in the reference
+            # (condest.cpp:138-140 assigns c1 = c1_prime), so carry a
+            # sticky flag rather than re-evaluating per iteration.
+            relaxed = relaxed | (sigma_min / sigma_max <= c4)
+            c1_eff = jnp.where(relaxed, c1_prime, c1)
             finished = (
                 (sc["ad_norm"] / (sigma_max * sc["x_norm"] + b_norm) <= c1_eff)
                 | (sc["d_norm"] <= tau)
                 | (sigma_max / sigma_min >= c3)
             )
             degenerate = (sc["d_norm"] == 0) | jnp.isnan(sc["ad_norm"])
-            return state, t + 1, finished, degenerate
+            return state, t + 1, finished, degenerate, relaxed
 
         carry0 = (state, jnp.asarray(1, jnp.int32), jnp.asarray(False),
-                  jnp.asarray(False))
-        state, t1, _, _ = jax.lax.while_loop(
+                  jnp.asarray(False), jnp.asarray(False))
+        state, t1, fin, deg, relaxed = jax.lax.while_loop(
             lambda c: (~c[2]) & (~c[3]) & (c[1] <= max_iters), step, carry0
         )
-        # continue to 1.25*t total (the reference's ceil(1.25 t) tail);
-        # the 'finished' flag is ignored there, degeneracy still stops
-        t_target = jnp.ceil(t1.astype(jnp.float64) * 1.25).astype(jnp.int32)
-        state, t2, _, _ = jax.lax.while_loop(
+        # The tail runs until ceil(1.25 * t_fire) TOTAL iterations, where
+        # t_fire is the iteration at which 'finished' fired (the loop
+        # counter was already incremented when we exited, hence t1 - 1 —
+        # condest.cpp:142-148 sets T = ceil(1.25 t) inside iteration t).
+        # No tail when the loop ended by degeneracy or max_iters; the
+        # 'finished' test is not re-evaluated in the tail (T != max_iters
+        # guards it in the reference), degeneracy still stops.
+        t_target = jnp.where(
+            fin & ~deg,
+            jnp.ceil((t1 - 1).astype(jnp.float64) * 1.25).astype(jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+        state, t2, _, _, _ = jax.lax.while_loop(
             lambda c: (~c[3]) & (c[1] <= t_target), step,
-            (state, t1, jnp.asarray(False), jnp.asarray(False)),
+            (state, t1, jnp.asarray(False), deg, relaxed),
         )
         sigma_min = state[9]
         return t2, sigma_min

@@ -95,6 +95,8 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
     carry0 = dict(
         V=V0, H=H0, Q=Q0, S=S0,
         k=jnp.asarray(0, jnp.int32),
+        kdim=jnp.asarray(0, jnp.int32),
+        bd=jnp.asarray(False),
         done=jnp.asarray(False),
         loss_sq=jnp.asarray(0.0, _f64),
     )
@@ -107,12 +109,12 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         k = c["k"]
 
         v_k = jax.lax.dynamic_index_in_dim(V, k, axis=0, keepdims=False)
-        w = spmv(A_in, v_k, axis)
-        w = typesafe_apply(M, w, axis)
+        w = spmv(A_in, v_k, axis, use_pallas=cfg.use_pallas)
+        w = typesafe_apply(M, w, axis, cfg.use_pallas)
 
         h_col, w, h_next = orthonormalize_step(
             cfg.orth.value, V, k, w, axis, cfg.orth_steps,
-            assume_zero_tail=True,
+            assume_zero_tail=True, use_pallas=cfg.use_pallas,
         )
         # The reference divides unconditionally (Orthogonalization.hpp:59 —
         # no happy-breakdown guard); we guard the h==0 case to a zero vector
@@ -129,6 +131,18 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         r_, c_, s_ = rotg(hhat[k], hhat[k + 1])
         hhat = hhat.at[k].set(r_).at[k + 1].set(0)
         Q = accumulate_rotation(Q, k, c_, s_)
+        # Happy-breakdown guard (explicit divergence from the reference,
+        # which divides by zero here — Orthogonalization.hpp:59): when
+        # h(k+1,k) == 0 the Krylov space is A-invariant; later columns are
+        # vacuous zeros whose zero pivots would poison the triangular
+        # solve (0 * inf = NaN).  ``kdim`` counts the columns usable by
+        # the solution update: it advances only while no breakdown has
+        # occurred AND the new R diagonal r_kk is nonzero (r_kk == 0 with
+        # h_next == 0 means even column k is degenerate — e.g. beta == 0).
+        # Post-breakdown iterations are harmless identity rotations
+        # (rotg(0,0) = (1,0)).
+        kdim = jnp.where(c["bd"] | (r_ == 0), c["kdim"], k1)
+        bd = c["bd"] | (h_next == 0) | (r_ == 0)
         H = jax.lax.dynamic_update_slice(
             H, hhat[:, None], (jnp.zeros((), k.dtype), k)
         )
@@ -157,7 +171,7 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
             loss_sq = loss_sq + jnp.dot(s_col, s_col, precision=_HI).astype(_f64)
             restart = restart | (loss_sq >= cfg.restart_improvement**2)
 
-        return dict(V=V, H=H, Q=Q, S=S, k=k1,
+        return dict(V=V, H=H, Q=Q, S=S, k=k1, kdim=kdim, bd=bd,
                     done=restart, loss_sq=loss_sq)
 
     if fixed_fast:
@@ -213,14 +227,14 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
         w0 = rh.astype(in_dt)
         r_norm = r_norm32.astype(_f64)
         x_norm = x_norm32.astype(_f64)
-        w0 = typesafe_apply(M, w0, axis)
+        w0 = typesafe_apply(M, w0, axis, cfg.use_pallas)
         beta = nrm2(w0, axis)
     else:
         # r = b - A x in the outer dtype (gmres.cpp:62-63, 172-174)
-        r = b - spmv(A_out, x, axis)
+        r = b - spmv(A_out, x, axis, use_pallas=cfg.use_pallas)
         w0 = r.astype(in_dt)
         r_norm = nrm2(w0, axis).astype(_f64)
-        w0 = typesafe_apply(M, w0, axis)
+        w0 = typesafe_apply(M, w0, axis, cfg.use_pallas)
         beta = nrm2(w0, axis)
         x_norm = nrm2(x, axis).astype(_f64)
 
@@ -247,8 +261,10 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
         # solution_update (gmres.cpp:276-303): y = H[:k,:k]^{-1} s[:k];
         # x += V[:,:k] y, promoted to the outer dtype in mixed mode.
         # s = Q @ (beta e1) (ops/givens.py:accumulate_rotation).
+        # kdim (== k_fin except after a happy breakdown) bounds the
+        # triangular solve to the valid columns.
         s_fin = beta * final["Q"][:, 0]
-        y = trsv_upper_padded(final["H"][:m, :m], s_fin[:m], k_fin)
+        y = trsv_upper_padded(final["H"][:m, :m], s_fin[:m], final["kdim"])
         x_inc = jnp.matmul(y, final["V"][:m], precision=_HI)
         if df64:
             x_new = axpy_df64(x[0], x[1], x_inc.astype(jnp.float32))
@@ -402,6 +418,7 @@ class GmresResult:
     error_norm: float | None = None     # ||x - x_true|| when truth known
     prec_seconds: float = 0.0
     solve_seconds: float = 0.0
+    setup_seconds: float = 0.0    # host-side pre-dispatch cost inside solve()
     history: list | None = None   # per-cycle (rel_initial, prec_rel0, k)
     diverged: bool = False        # non-finite residual detected
     fellback_to_fp64: bool = False
@@ -490,8 +507,12 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig, allow_df64: bool = True):
 
     out_dt = jnp.dtype(cfg.precision.outer)
     in_dt = cfg.precision.inner_dtype
+    # cfg.use_pallas and the backend shape the staged format (the df64
+    # decision below reads both), so they are part of the cache key — a
+    # use_pallas=False solve must not inherit a DF64Dia staged for a
+    # Pallas-enabled one (and vice versa).
     key = (cfg.auto_format and cfg.axis_name is None, str(out_dt), str(in_dt),
-           allow_df64)
+           allow_df64, cfg.use_pallas, jax.default_backend())
     entry = _STAGING_CACHE.get(id(A))
     if entry is not None and entry[0]() is A and key in entry[1]:
         return entry[1][key]
@@ -588,12 +609,6 @@ def solve(
     out_dt = jnp.dtype(cfg.precision.outer)
     in_dt = cfg.precision.inner_dtype
 
-    # cfg.use_pallas drives a process-level switch; cfg is a static jit
-    # argument, so traces specialize consistently with the flag's value
-    from gmres_tpu.ops.pallas import orth_kernel as _orth_kernel
-
-    _orth_kernel.force_disabled = not cfg.use_pallas
-
     perm = None
     if reorder is not None:
         if reorder != "rcm":
@@ -609,6 +624,7 @@ def solve(
             raise ValueError("reorder with a prebuilt preconditioner is unsupported")
 
     t0 = time.perf_counter()
+    A_fallback = A  # pre-padding operator, for the fp64 rescue path below
     # Build the preconditioner on the UNPADDED matrix (ILU factorization
     # needs real diagonals), then pad everything to the Pallas block
     # alignment so the fused kernels apply at any problem size.
@@ -685,8 +701,10 @@ def solve(
             pstate
         )
 
+    setup_seconds = time.perf_counter() - t0  # host-side pre-dispatch cost
     result = drive_restarts(chunk_call, x_dev, cfg, record_history, progress,
                             checkpoint=checkpoint)
+    result.setup_seconds = setup_seconds
     if df64_active:
         result.x = merge_f64(*result.x)
     result.prec_seconds = prec_seconds
@@ -695,10 +713,16 @@ def solve(
     from gmres_tpu.config import PrecisionSpec as _PS
 
     if result.diverged and cfg.nan_fallback and cfg.precision != _PS.from_mode("baseline"):
-        # A and b are already padded here, so the recursive solve is a
-        # no-op pad (n_rows aligned) and returns a padded x like ours
+        # Rescue from the ORIGINAL (unpadded) operator so the fp64
+        # preconditioner is rebuilt from real rows — rebuilding from the
+        # padded matrix would factor empty tail rows (diag_positions
+        # points past nnz there, indexing out of bounds), and reusing the
+        # low-precision M would inherit exactly the brokenness (e.g.
+        # fp32-flushed pivots) that made the solve diverge.
         fb = solve(
-            A, np.asarray(b), cfg.with_(precision=_PS.from_mode("baseline")),
+            A_fallback,
+            np.asarray(b)[:n_orig],
+            cfg.with_(precision=_PS.from_mode("baseline")),
             record_history=record_history, progress=progress,
         )
         fb.fellback_to_fp64 = True
