@@ -63,6 +63,10 @@ def spmv(
     xg = x if x_is_global else gather_operand(x, axis_name)
     if isinstance(A, DIAMatrix):
         return dia_spmv(A, xg, use_pallas)
+    from gmres_tpu.ops.sell import SELLMatrix, sell_spmv
+
+    if isinstance(A, SELLMatrix):
+        return sell_spmv(A, xg, use_pallas)
     xg = xg.astype(A.vals.dtype)
     prod = A.vals * xg[A.col_idx]
     return jax.ops.segment_sum(

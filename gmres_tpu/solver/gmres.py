@@ -453,6 +453,18 @@ def _pad_operator(A, n_pad: int):
             n_rows=n_pad,
             n_cols=n_pad,
         )
+    from gmres_tpu.ops.sell import ROWS_PER_BLOCK, SELLMatrix
+
+    if isinstance(A, SELLMatrix):
+        # appended rows/cols are empty: no new chunks needed — the kernel
+        # wrapper zero-fills output blocks beyond the packed range
+        return _dc.replace(
+            A,
+            n_rows=n_pad,
+            n_cols=max(A.n_cols, n_pad),
+            n_rows_pad=max(A.n_rows_pad,
+                           -(-n_pad // ROWS_PER_BLOCK) * ROWS_PER_BLOCK),
+        )
     raise TypeError(f"cannot pad {type(A)}")
 
 
@@ -527,6 +539,27 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig, allow_df64: bool = True):
     A_in = A_fmt.astype(in_dt)
     same = out_dt == in_dt
     A_out = A_in if same else A_fmt.astype(out_dt)
+    # Unstructured fast path: when DIA rejects the sparsity pattern, pack
+    # the *inner* operator into SELL for the Pallas windowed-compare kernel
+    # (ops/sell.py).  The outer (fp64) residual SpMV stays on the CSR XLA
+    # path — it runs once per restart, the inner one per iteration.
+    if (
+        A_fmt is A
+        and isinstance(A, CSRMatrix)
+        and cfg.auto_format
+        and cfg.axis_name is None
+        and cfg.use_pallas
+        and jax.default_backend() == "tpu"
+        and in_dt == jnp.float32
+        and A.n_rows >= 128 * 1024
+    ):
+        from gmres_tpu.ops.sell import sell_from_csr
+
+        sell = sell_from_csr(A)
+        if sell is not None:
+            A_in = sell.astype(in_dt)
+            if same:
+                A_out = A_in
     # Commit the staged operators to the device ONCE (the reference's
     # host->device deep_copy boundary, types_cuda.hpp:103-114).  Construction
     # keeps numpy-backed pytrees for host-side setup work; without this the

@@ -1,0 +1,157 @@
+"""SELL format: packer correctness, XLA execution path, Pallas kernel in
+interpret mode, and solver integration (VERDICT round-1 item 1)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gmres_tpu.ops.sell import SELLMatrix, sell_from_csr, sell_spmv_xla
+from gmres_tpu.sparse import csr_from_coo, csr_from_dense
+
+
+def _random_local_csr(n=1000, avg_nnz=6, spread=900, seed=0):
+    """Unstructured matrix with *bounded locality* (post-RCM-like): row i's
+    columns are scattered within [i-spread/2, i+spread/2)."""
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    for i in range(n):
+        k = rng.integers(1, 2 * avg_nnz)
+        c = np.unique(
+            np.clip(i + rng.integers(-spread // 2, spread // 2, size=k), 0, n - 1)
+        )
+        rows.extend([i] * len(c))
+        cols.extend(c.tolist())
+        if i not in c:
+            rows.append(i)
+            cols.append(i)
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = rng.standard_normal(rows.shape[0])
+    # make it diagonally dominant so GMRES converges fast in tests
+    diag = rows == cols
+    vals[diag] = 10.0 + np.abs(vals[diag])
+    return csr_from_coo(rows, cols, vals, n_rows=n)
+
+
+def test_pack_roundtrip_dense():
+    rng = np.random.default_rng(1)
+    a = np.zeros((70, 70))
+    mask = rng.random((70, 70)) < 0.08
+    a[mask] = rng.standard_normal(mask.sum())
+    np.fill_diagonal(a, 3.0)
+    A = csr_from_dense(a)
+    S = sell_from_csr(A, W=128, K=4)
+    assert S is not None
+    x = rng.standard_normal(70)
+    y = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-8)
+
+
+def test_pack_matches_csr_spmv():
+    A = _random_local_csr()
+    S = sell_from_csr(A)
+    assert S is not None
+    assert S.nnz == A.nnz
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(A.n_rows)
+    from gmres_tpu.ops.spmv import spmv
+
+    want = np.asarray(spmv(A, jnp.asarray(x), use_pallas=False))
+    got = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_pack_long_rows_split_into_layers():
+    """Rows longer than K spill into extra layer chunks."""
+    n = 300
+    rng = np.random.default_rng(3)
+    rows, cols = [], []
+    for i in range(n):
+        k = 40 if i == 57 else 3  # one pathological row
+        c = np.unique(rng.integers(0, n, size=k))
+        rows.extend([i] * len(c))
+        cols.extend(c.tolist())
+    vals = rng.standard_normal(len(rows))
+    A = csr_from_coo(np.asarray(rows), np.asarray(cols), vals, n_rows=n)
+    S = sell_from_csr(A, W=128, K=4)
+    assert S is not None
+    x = rng.standard_normal(n)
+    want = A.to_scipy() @ x
+    got = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_pack_refuses_scattered():
+    """A large, fully random (no locality) pattern packs ~one nonzero per
+    chunk and must be refused by the cost gate.  (Small random matrices
+    pack fine — a handful of buckets covers the whole operand.)"""
+    n = 200_000
+    rng = np.random.default_rng(4)
+    rows = np.repeat(np.arange(n), 3)
+    cols = rng.integers(0, n, size=3 * n)
+    vals = rng.standard_normal(3 * n)
+    A = csr_from_coo(rows, cols, vals, n_rows=n)
+    assert sell_from_csr(A) is None
+
+
+def test_interpret_kernel_matches_xla():
+    from gmres_tpu.ops.pallas.sell_kernel import sell_spmv_pallas
+
+    A = _random_local_csr(n=1500, spread=700, seed=5)
+    S = sell_from_csr(A)
+    assert S is not None
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(A.n_rows)
+    want = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
+    got = np.asarray(sell_spmv_pallas(S.astype(jnp.float32),
+                                      jnp.asarray(x, jnp.float32),
+                                      interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_interpret_kernel_multi_call_split():
+    """Force the multi-pallas_call path by shrinking the chunk budget."""
+    import gmres_tpu.ops.sell as sell_mod
+    from gmres_tpu.ops.pallas.sell_kernel import sell_spmv_pallas
+
+    A = _random_local_csr(n=2500, spread=500, seed=7)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(A.n_rows)
+    S1 = sell_from_csr(A)
+    assert S1 is not None
+    want = np.asarray(sell_spmv_xla(S1, jnp.asarray(x)))
+    old = sell_mod.MAX_CHUNKS_PER_CALL
+    sell_mod.MAX_CHUNKS_PER_CALL = max(4, S1.n_chunks // 3)
+    try:
+        S = sell_from_csr(A)
+        assert len(S.parts) >= 2
+        got_xla = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
+        got = np.asarray(sell_spmv_pallas(S.astype(jnp.float32),
+                                          jnp.asarray(x, jnp.float32),
+                                          interpret=True))
+    finally:
+        sell_mod.MAX_CHUNKS_PER_CALL = old
+    np.testing.assert_allclose(got_xla, want, rtol=1e-10)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_solve_with_sell_operator():
+    """End-to-end: GMRES on a SELL-staged operator matches the CSR solve."""
+    from gmres_tpu import GmresConfig, solve
+
+    A = _random_local_csr(n=800, spread=300, seed=9)
+    rng = np.random.default_rng(10)
+    x_true = rng.standard_normal(A.n_rows)
+    b = A.to_scipy() @ x_true
+
+    cfg = GmresConfig(restart_length=30, tol=1e-10, max_restarts=50,
+                      orth="cgsr", precond="identity")
+    res_csr = solve(A, b, cfg)
+    S = sell_from_csr(A)
+    assert S is not None
+    res_sell = solve(S, b, cfg)
+    assert res_sell.converged
+    assert res_sell.total_iters == res_csr.total_iters
+    np.testing.assert_allclose(
+        np.asarray(res_sell.x), x_true, rtol=1e-6, atol=1e-8
+    )
