@@ -27,6 +27,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK = 32 * 1024
 _LANES = 128
+
+
+def _resolve_interpret(interpret):
+    """None = auto: interpret off-TPU so the same code path is exercised
+    (and testable) on CPU."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _pick_block(n_pad: int) -> int:
+    """Largest block <= _BLOCK that divides n_pad (callers align n_pad to
+    either a multiple of _BLOCK or something <= _BLOCK)."""
+    if n_pad <= _BLOCK:
+        return n_pad
+    assert n_pad % _BLOCK == 0, n_pad
+    return _BLOCK
 _SPLIT = 4097.0  # 2^12 + 1 (Veltkamp split for fp32); python float
 # literal so it folds into the kernel ops instead of being a captured array
 
@@ -110,10 +127,11 @@ def _dia_df64_kernel(dh_ref, dl_ref, x_hbm_h, x_hbm_l, yh_ref, yl_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
-def _dia_spmv_df64(dh, dl, xh_padded, xl_padded, offsets, interpret=False):
+def _dia_spmv_df64(dh, dl, xh_padded, xl_padded, offsets, interpret=None):
+    interpret = _resolve_interpret(interpret)
     D, n_pad = dh.shape
     pad = (xh_padded.shape[0] - n_pad) // 2
-    block = min(_BLOCK, n_pad)
+    block = _pick_block(n_pad)
     grid = n_pad // block
     kernel = functools.partial(
         _dia_df64_kernel, offsets=offsets, pad=pad, block=block
@@ -125,8 +143,8 @@ def _dia_spmv_df64(dh, dl, xh_padded, xl_padded, offsets, interpret=False):
             in_specs=[
                 pl.BlockSpec((D, block), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
                 pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
@@ -197,12 +215,15 @@ def _residual_kernel(dh_ref, dl_ref, bh_ref, bl_ref, x_hbm_h, x_hbm_l,
 
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
 def residual_df64(dh, dl, bh, bl, xh_padded, xl_padded, offsets,
-                  interpret=False):
-    """(r_hi, r_lo, ||r||, ||x||) for r = b - A x, all inputs split fp32
-    pairs; the operand x is pre-padded with the halo like dia_spmv_df64."""
+                  interpret=None):
+    """(r_hi, r_lo, ||r||^2, ||x||^2) for r = b - A x, all inputs split
+    fp32 pairs; the operand x is pre-padded with the halo like
+    dia_spmv_df64.  Sum-of-squares (not norms) so distributed callers can
+    psum the shard partials before the sqrt."""
+    interpret = _resolve_interpret(interpret)
     D, n_pad = dh.shape
     pad = (xh_padded.shape[0] - n_pad) // 2
-    block = min(_BLOCK, n_pad)
+    block = _pick_block(n_pad)
     grid = n_pad // block
     kernel = functools.partial(
         _residual_kernel, offsets=offsets, pad=pad, block=block
@@ -216,8 +237,8 @@ def residual_df64(dh, dl, bh, bl, xh_padded, xl_padded, offsets,
                 pl.BlockSpec((D, block), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
                 pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -237,9 +258,7 @@ def residual_df64(dh, dl, bh, bl, xh_padded, xl_padded, offsets,
             ],
             interpret=interpret,
         )(dh, dl, bh[None, :], bl[None, :], xh_padded, xl_padded)
-    r_norm = jnp.sqrt(acc[0, 0])
-    x_norm = jnp.sqrt(acc[0, 1])
-    return rh[0], rl[0], r_norm, x_norm
+    return rh[0], rl[0], acc[0, 0], acc[0, 1]
 
 
 def _axpy_kernel(xh_ref, xl_ref, inc_ref, oh_ref, ol_ref):
@@ -251,9 +270,15 @@ def _axpy_kernel(xh_ref, xl_ref, inc_ref, oh_ref, ol_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def axpy_df64(xh, xl, inc, interpret=False):
-    n = xh.shape[0]
-    block = min(_BLOCK, n)
+def axpy_df64(xh, xl, inc, interpret=None):
+    interpret = _resolve_interpret(interpret)
+    n_in = xh.shape[0]
+    block = min(_BLOCK, _round_up(n_in, _LANES * 8))
+    n = _round_up(n_in, block)
+    if n != n_in:
+        xh = jnp.pad(xh, (0, n - n_in))
+        xl = jnp.pad(xl, (0, n - n_in))
+        inc = jnp.pad(inc, (0, n - n_in))
     grid = n // block
     with jax.enable_x64(False):
         oh, ol = pl.pallas_call(
@@ -274,7 +299,7 @@ def axpy_df64(xh, xl, inc, interpret=False):
             ),
             interpret=interpret,
         )(xh[None, :], xl[None, :], inc[None, :])
-    return oh[0], ol[0]
+    return oh[0, :n_in], ol[0, :n_in]
 
 
 @functools.partial(
@@ -334,3 +359,78 @@ def dia_spmv_df64(A, x, interpret: bool = False):
 
     yh, yl = _dia_spmv_df64(dh, dl, xh, xl, A.offsets, interpret=interpret)
     return merge_f64(yh[:n], yl[:n])
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data_hi", "data_lo"),
+    meta_fields=("offsets", "n_shards", "rows_per_shard", "halo_left",
+                 "halo_right", "nnz"),
+)
+@dataclasses.dataclass(frozen=True)
+class DF64HaloDia:
+    """Row-partitioned double-float DIA (the distributed analog of DF64Dia:
+    hi/lo splits of a ``parallel.halo.HaloDIA``).  Lets the sharded mixed
+    solver run its fp64 outer residual through the two-fp32 kernels instead
+    of XLA's emulated fp64 (VERDICT round-1 item 3)."""
+
+    data_hi: jax.Array         # (P, D, rows_per_shard)
+    data_lo: jax.Array
+    offsets: tuple
+    n_shards: int
+    rows_per_shard: int
+    halo_left: int
+    halo_right: int
+    nnz: int
+
+    @staticmethod
+    def from_halo(H) -> "DF64HaloDia":
+        dh, dl = split_f64(jnp.asarray(H.data, jnp.float64))
+        return DF64HaloDia(
+            data_hi=dh,
+            data_lo=dl,
+            offsets=tuple(H.offsets),
+            n_shards=H.n_shards,
+            rows_per_shard=H.rows_per_shard,
+            halo_left=H.halo_left,
+            halo_right=H.halo_right,
+            nnz=H.nnz,
+        )
+
+    @property
+    def vals(self):
+        return merge_f64(self.data_hi, self.data_lo).reshape(-1)
+
+
+def residual_df64_halo(A: DF64HaloDia, bh, bl, xh_local, xl_local,
+                       axis_name: str):
+    """Shard-local r = b - A x through the df64 residual kernel, inside
+    shard_map: the (hi, lo) operand halos ride one stacked ppermute
+    exchange; the kernel's ||r||^2 / ||x||^2 partials are psum'd by the
+    caller.  Returns (r_hi, r_lo, r_ss_local, x_ss_local)."""
+    from gmres_tpu.parallel.halo import _exchange_halos
+
+    hl, hr, P = A.halo_left, A.halo_right, A.n_shards
+    r = A.rows_per_shard
+    stacked = jnp.stack([xh_local, xl_local])           # (2, r)
+    xx = _exchange_halos(stacked, hl, hr, P, axis_name, axis=1)  # (2, r+hl+hr)
+
+    dh, dl = A.data_hi[0], A.data_lo[0]                 # (D, r)
+    pad = _round_up(max(1, max(abs(o) for o in A.offsets)), _LANES)
+    assert pad >= hl and pad >= hr, (pad, hl, hr)
+    block = min(_BLOCK, _round_up(r, _LANES * 8))
+    n_pad = _round_up(r, block)
+    if n_pad != r:
+        dh = jnp.pad(dh, ((0, 0), (0, n_pad - r)))
+        dl = jnp.pad(dl, ((0, 0), (0, n_pad - r)))
+        bh = jnp.pad(bh, (0, n_pad - r))
+        bl = jnp.pad(bl, (0, n_pad - r))
+    tail = pad - hr + (n_pad - r)
+    xh_p = jnp.pad(xx[0], (pad - hl, tail))
+    xl_p = jnp.pad(xx[1], (pad - hl, tail))
+    rh, rl, r_ss, _ = residual_df64(dh, dl, bh, bl, xh_p, xl_p, A.offsets)
+    # the kernel's ||x||^2 reads its center region, which in the halo
+    # layout also contains the right-halo copy of the neighbor's x —
+    # compute the local partial from the unexchanged shard instead
+    x_ss = jnp.sum(xh_local * xh_local)
+    return rh[:r], rl[:r], r_ss, x_ss

@@ -81,7 +81,7 @@ def _pallas_call(kernel, D, n_pad, pad, block, grid, dtype, interpret):
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((D, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; DMA'd
         ],
         out_specs=pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad,), dtype),
@@ -91,6 +91,27 @@ def _pallas_call(kernel, D, n_pad, pad, block, grid, dtype, interpret):
         ],
         interpret=interpret,
     )
+
+
+def dia_spmv_pallas_windowed(data: jax.Array, xx: jax.Array, hl: int, hr: int,
+                             offsets, interpret: bool = False) -> jax.Array:
+    """y[i] = sum_d data[d, i] * xx[hl + i + off_d] for a haloed operand
+    window ``xx = [left_halo | local | right_halo]`` (the distributed
+    HaloDIA local block, ``parallel/halo.py``).  ``hl``/``hr`` are the halo
+    widths actually present in ``xx``; the window is re-padded to the
+    kernel's uniform halo of ``round_up(max|off|)`` so the same DMA kernel
+    serves the sharded and single-device layouts."""
+    D, r = data.shape
+    block = min(_BLOCK, _round_up(r, _LANES * 8))
+    n_pad = _round_up(r, block)
+    pad = _round_up(max(1, max(abs(o) for o in offsets)), _LANES)
+    assert pad >= hl and pad >= hr, (pad, hl, hr)
+
+    if n_pad != r:
+        data = jnp.pad(data, ((0, 0), (0, n_pad - r)))
+    x_padded = jnp.pad(xx, (pad - hl, pad - hr + (n_pad - r)))
+    y = _dia_spmv_dma(data, x_padded, tuple(offsets), interpret=interpret)
+    return y[:r]
 
 
 def dia_spmv_pallas(A, x: jax.Array, interpret: bool = False) -> jax.Array:

@@ -173,8 +173,13 @@ def solve_distributed(
     x0=None,
     record_history: bool = False,
     progress=None,
+    force_df64: bool = False,
 ) -> GmresResult:
-    """Row-partitioned GMRES over all devices (or the given mesh)."""
+    """Row-partitioned GMRES over all devices (or the given mesh).
+
+    ``force_df64`` opts the fp64 outer residual into the double-float halo
+    kernels off-TPU (they run in interpret mode there) — a testing hook;
+    on TPU the df64 staging is automatic for halo-DIA operators."""
     cfg = cfg or GmresConfig()
     if mesh is None:
         mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
@@ -203,6 +208,25 @@ def solve_distributed(
     Ai_p = Ao_p if A_in is A_out else _partition_matrix(A_in, n_shards, cfg.auto_format)
     M_p = _partition_prec(M, n_shards, cfg.auto_format)
 
+    # Distributed double-float outer: when the fp64 operator halo-partitions
+    # into DIA form, split it (and b, x) into two-fp32 pairs so the outer
+    # residual runs the Pallas df64 halo kernel instead of XLA-emulated fp64
+    # (the sharded cycle keeps the single-chip fast path; VERDICT item 3).
+    from gmres_tpu.parallel.halo import HaloDIA
+
+    df64_active = False
+    if (
+        isinstance(Ao_p, HaloDIA)
+        and Ao_p is not Ai_p
+        and out_dt == jnp.float64
+        and cfg.use_pallas
+        and (jax.default_backend() == "tpu" or force_df64)
+    ):
+        from gmres_tpu.ops.pallas.df64_kernel import DF64HaloDia
+
+        Ao_p = DF64HaloDia.from_halo(Ao_p)
+        df64_active = True
+
     shard0 = NamedSharding(mesh, P(AXIS))
     put = lambda t: jax.tree.map(lambda a: jax.device_put(a, shard0), t)
     Ao_p, Ai_p = put(Ao_p), put(Ai_p)
@@ -213,6 +237,11 @@ def solve_distributed(
         x = jnp.zeros_like(b_pad)
     else:
         x = jax.device_put(pad_vector(np.asarray(x0, dtype=out_dt), n_shards), shard0)
+    if df64_active:
+        from gmres_tpu.ops.pallas.df64_kernel import merge_f64, split_f64
+
+        b_pad = jax.jit(split_f64, out_shardings=(shard0, shard0))(b_pad)
+        x = jax.jit(split_f64, out_shardings=(shard0, shard0))(x)
 
     cycle, dist_cfg = make_distributed_cycle(cfg, mesh)
 
@@ -223,6 +252,8 @@ def solve_distributed(
     result = drive_restarts(chunk_call, x, dist_cfg, record_history, progress)
     result.prec_seconds = prec_seconds
     result.solve_seconds = time.perf_counter() - t1
+    if df64_active:
+        result.x = jax.jit(merge_f64)(*result.x)
     result.x = result.x[:n]
     return result
 

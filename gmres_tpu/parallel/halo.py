@@ -153,27 +153,35 @@ def partition_halo(A: CSRMatrix, n_shards: int):
     )
 
 
-def _exchange_halos(x_local: jax.Array, hl: int, hr: int, P: int, axis: str):
+def _exchange_halos(x_local: jax.Array, hl: int, hr: int, P: int,
+                    axis_name: str, axis: int = 0):
     """Build [left_halo | x_local | right_halo] via neighbor ppermutes.
     Boundary shards receive zeros (ppermute zero-fills missing sources),
-    matching out-of-range matrix entries which are structurally zero."""
+    matching out-of-range matrix entries which are structurally zero.
+
+    ``axis`` selects the exchanged dimension — the df64 path stacks the
+    (hi, lo) splits on a leading axis and exchanges both in one pair of
+    ppermutes (``ops/pallas/df64_kernel.py:residual_df64_halo``)."""
+    sl = (slice(None),) * axis
     parts = []
     if hl:
         # shard s receives the tail of shard s-1
         left = jax.lax.ppermute(
-            x_local[-hl:], axis, [(s, s + 1) for s in range(P - 1)]
+            x_local[sl + (slice(-hl, None),)], axis_name,
+            [(s, s + 1) for s in range(P - 1)]
         )
         parts.append(left)
     parts.append(x_local)
     if hr:
         # shard s receives the head of shard s+1
         right = jax.lax.ppermute(
-            x_local[:hr], axis, [(s + 1, s) for s in range(P - 1)]
+            x_local[sl + (slice(None, hr),)], axis_name,
+            [(s + 1, s) for s in range(P - 1)]
         )
         parts.append(right)
     if len(parts) == 1:
         return x_local
-    return jnp.concatenate(parts)
+    return jnp.concatenate(parts, axis=axis)
 
 
 def halo_spmv(A, x_local: jax.Array, axis: str, use_pallas: bool = True) -> jax.Array:
@@ -186,6 +194,21 @@ def halo_spmv(A, x_local: jax.Array, axis: str, use_pallas: bool = True) -> jax.
         xx = _exchange_halos(x_local, hl, hr, P, axis)
         data = A.data[0]  # (D, r)
         r = A.rows_per_shard
+        # Local block through the fused Pallas DIA kernel where it beats
+        # XLA (same gate as the single-device path — the sharded cycle must
+        # not silently lose the 11x SpMV win; VERDICT round-1 item 3).
+        from gmres_tpu.ops.dia import _PALLAS_DISABLED, _PALLAS_MIN_ROWS
+
+        if (
+            use_pallas
+            and not _PALLAS_DISABLED
+            and data.dtype == jnp.float32
+            and r >= _PALLAS_MIN_ROWS
+            and jax.default_backend() == "tpu"
+        ):
+            from gmres_tpu.ops.pallas.spmv_kernel import dia_spmv_pallas_windowed
+
+            return dia_spmv_pallas_windowed(data, xx, hl, hr, A.offsets)
         y = jnp.zeros((r,), dtype=data.dtype)
         for d, off in enumerate(A.offsets):
             y = y + data[d] * shift_read(xx, off + hl, r)

@@ -208,6 +208,7 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
             axpy_df64,
             merge_f64,
             residual_df64,
+            residual_df64_halo,
             split_f64,
         )
 
@@ -216,17 +217,26 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
         if not isinstance(x, (tuple, list)):
             unsplit = True
             x = split_f64(x)
-        halo = -(-max(1, max(abs(o) for o in A_out.offsets)) // 128) * 128
-        xh_p = jnp.pad(x[0], (halo, halo))
-        xl_p = jnp.pad(x[1], (halo, halo))
-        rh, rl, r_norm32, x_norm32 = residual_df64(
-            A_out.data_hi, A_out.data_lo, b[0], b[1], xh_p, xl_p,
-            A_out.offsets,
-        )
+        if hasattr(A_out, "rows_per_shard"):
+            # distributed: halo-exchange the (hi, lo) operand splits, run
+            # the local df64 residual kernel, psum the norm partials
+            rh, rl, r_ss, x_ss = residual_df64_halo(
+                A_out, b[0], b[1], x[0], x[1], axis
+            )
+            r_ss = jax.lax.psum(r_ss, axis)
+            x_ss = jax.lax.psum(x_ss, axis)
+        else:
+            halo = -(-max(1, max(abs(o) for o in A_out.offsets)) // 128) * 128
+            xh_p = jnp.pad(x[0], (halo, halo))
+            xl_p = jnp.pad(x[1], (halo, halo))
+            rh, rl, r_ss, x_ss = residual_df64(
+                A_out.data_hi, A_out.data_lo, b[0], b[1], xh_p, xl_p,
+                A_out.offsets,
+            )
         # w0 = fp32 demote of the fp64 residual == its hi component
         w0 = rh.astype(in_dt)
-        r_norm = r_norm32.astype(_f64)
-        x_norm = x_norm32.astype(_f64)
+        r_norm = jnp.sqrt(r_ss.astype(_f64))
+        x_norm = jnp.sqrt(x_ss.astype(_f64))
         w0 = typesafe_apply(M, w0, axis, cfg.use_pallas)
         beta = nrm2(w0, axis)
     else:
