@@ -50,20 +50,84 @@ def _sell_kernel(bucket_ref, slab_ref, vals_ref, cols_ref, x_ref, y_ref, *,
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    vals = vals_ref[0]  # (C, K)
-    cols = cols_ref[0]  # (C, K) int32 in [0, W)
-    xw = x_ref[...].reshape(1, W)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (C, W), 1)
-    xb = jnp.broadcast_to(xw, (C, W))
-    acc = jnp.zeros((C, W), vals.dtype)
+    vals = vals_ref[0]  # (K, C)
+    cols = cols_ref[0]  # (K, C) int32 in [0, W)
+    xw = x_ref[0]       # (1, W) — the chunk's bucket window
+    # Densify the slab with the window along SUBLANES and the 128 rows
+    # along LANES: dense[w, r] = sum of slot values with column w in row r
+    # (cmp + select + add per slot).  The contraction over w is then one
+    # MXU matvec, and the result lands lane-oriented — exactly the output
+    # block's row layout, no relayout.
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    dense = jnp.zeros((W, C), vals.dtype)
     for k in range(K):
-        ck = cols[:, k][:, None]
-        vk = vals[:, k][:, None]
-        acc = acc + jnp.where(iota == ck, vk * xb, jnp.zeros((), vals.dtype))
-    y_slab = jnp.sum(acc, axis=1)  # (C,)
+        dense = dense + jnp.where(
+            iota == cols[k:k + 1, :], vals[k:k + 1, :],
+            jnp.zeros((), vals.dtype),
+        )
+    # HIGHEST precision: the MXU's default f32 path rounds through bf16
+    # passes (measured 1.8e-3 relative error on the SpMV)
+    y_row = jnp.dot(xw, dense, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (1, C)
 
     row = slab_g - blk * SLABS_PER_BLOCK
-    y_ref[pl.ds(row, 1), :] += y_slab[None, :]
+    y_ref[pl.ds(row, 1), :] += y_row.astype(vals.dtype)
+
+
+def _sell_dense_kernel(bucket_ref, slab_ref, vidx_ref, blocks_ref, x_ref,
+                       y_ref, *, W: int):
+    """Dense (W, C) block chunk: y_row += x_window @ block — one MXU
+    matvec, no densify (pairs above the fill threshold)."""
+    g = pl.program_id(0)
+    slab_g = slab_ref[g]
+    blk = slab_g // SLABS_PER_BLOCK
+    prev_blk = slab_ref[jnp.maximum(g - 1, 0)] // SLABS_PER_BLOCK
+    is_first = jnp.logical_or(g == 0, blk != prev_blk)
+
+    @pl.when(is_first)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    xw = x_ref[0]       # (1, W)
+    block = blocks_ref[0]  # (W, C)
+    y_row = jnp.dot(xw, block, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (1, C)
+    row = slab_g - blk * SLABS_PER_BLOCK
+    y_ref[pl.ds(row, 1), :] += y_row.astype(block.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "n_chunks", "n_slabs", "first_block", "interpret"),
+)
+def _dense_call(bucket, slab, vidx, blocks, xp, *, W, n_chunks, n_slabs,
+                first_block, interpret=False):
+    kernel = functools.partial(_sell_dense_kernel, W=W)
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_chunks,),
+            in_specs=[
+                # value-block index is prefetch-steered so dummy coverage
+                # chunks share the all-zero block 0 (and consecutive equal
+                # indices skip the re-fetch)
+                pl.BlockSpec((1, W, C), lambda g, bk, sl, vi: (vi[g], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, W), lambda g, bk, sl, vi: (bk[g], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (SLABS_PER_BLOCK, C),
+                lambda g, bk, sl, vi: (sl[g] // SLABS_PER_BLOCK - first_block, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_slabs, C), blocks.dtype),
+            interpret=interpret,
+        )(bucket, slab, vidx, blocks, xp)
 
 
 @functools.partial(
@@ -79,11 +143,15 @@ def _sell_call(bucket, slab, vals, cols, xp, *, W, K, n_chunks, n_slabs,
             num_scalar_prefetch=2,
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec((1, C, K), lambda g, bk, sl: (g, 0, 0),
+                pl.BlockSpec((1, K, C), lambda g, bk, sl: (g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, C, K), lambda g, bk, sl: (g, 0, 0),
+                pl.BlockSpec((1, K, C), lambda g, bk, sl: (g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((W,), lambda g, bk, sl: (bk[g],),
+                # x as (n_buckets, 1, W): the block's trailing dims then
+                # equal the array's, which Mosaic accepts for any W (a 1D
+                # W-block fails layout verification; a 2D (1, W) block
+                # fails the divisible-by-8 sublane rule)
+                pl.BlockSpec((1, 1, W), lambda g, bk, sl: (bk[g], 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
@@ -109,8 +177,16 @@ def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,
     if A.dtype != jnp.float32:
         raise TypeError(f"SELL Pallas kernel is f32-only, got {A.dtype}")
     x = x.astype(A.dtype)
-    xp = _pad_x(A, x)
+    xp = _pad_x(A, x).reshape(A.n_buckets, 1, A.W)
     n_slabs_total = A.n_rows_pad // C
+
+    def cover(outs):
+        y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        if y.shape[0] < n_slabs_total:
+            # trailing blocks beyond the packed range (operator padded
+            # after packing, e.g. to the solver's alignment) are zero
+            y = jnp.pad(y, ((0, n_slabs_total - y.shape[0]), (0, 0)))
+        return y
 
     outs = []
     for p, (n_chunks, first_block, n_blocks) in enumerate(A.parts):
@@ -120,9 +196,16 @@ def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,
             n_slabs=n_blocks * SLABS_PER_BLOCK,
             first_block=first_block, interpret=interpret,
         ))
-    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    if y.shape[0] < n_slabs_total:
-        # trailing blocks beyond the packed range (operator padded after
-        # packing, e.g. to the solver's alignment) are identically zero
-        y = jnp.pad(y, ((0, n_slabs_total - y.shape[0]), (0, 0)))
+    y = cover(outs)
+    if A.n_dense_chunks:
+        douts = []
+        for p, (n_chunks, first_block, n_blocks) in enumerate(A.dense_parts):
+            douts.append(_dense_call(
+                A.dense_bucket[p], A.dense_slab[p], A.dense_vidx[p],
+                A.dense_data[0], xp,
+                W=A.W, n_chunks=n_chunks,
+                n_slabs=n_blocks * SLABS_PER_BLOCK,
+                first_block=first_block, interpret=interpret,
+            ))
+        y = y + cover(douts)
     return y.reshape(-1)[: A.n_rows]

@@ -61,33 +61,47 @@ MAX_CHUNKS_PER_CALL = 32768
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("data", "cols", "bucket", "slab"),
+    data_fields=("data", "cols", "bucket", "slab", "dense_data",
+                 "dense_bucket", "dense_slab", "dense_vidx"),
     meta_fields=("n_rows", "n_cols", "nnz", "W", "K", "parts",
-                 "n_rows_pad", "n_buckets"),
+                 "dense_parts", "n_rows_pad", "n_buckets"),
 )
 @dataclasses.dataclass(frozen=True)
 class SELLMatrix:
     """Sliced-ELL matrix, chunked and pre-split for the Pallas kernel.
 
-    Per part ``p``: ``data[p][c, r, k]``/``cols[p][c, r, k]`` hold the value
+    Per part ``p``: ``data[p][c, k, r]``/``cols[p][c, k, r]`` hold the value
     / *bucket-relative* column of slot ``k`` of row ``slab[p][c]*C + r``
     (0/0 for padding slots — they select ``x_window[0]`` with weight 0).
+    The (K, C) slot layout keeps the minor dimension at C=128 so the XLA
+    tiled layout pads K only to 8 (a (C, K) layout pads K to 128 — a 32x
+    memory/bandwidth blowup measured as the round-2 kernel's bottleneck).
     Chunks are sorted by ``slab``; every output block of ``ROWS_PER_BLOCK``
     rows has at least one chunk (dummies inserted) so the kernel
     zero-initializes it.  ``parts[p] = (n_chunks, first_block, n_blocks)``
     — each part owns a disjoint, contiguous output-block range.
     """
 
-    data: tuple    # tuple of (n_chunks_p, C, K) arrays
-    cols: tuple    # tuple of (n_chunks_p, C, K) int32 arrays, in [0, W)
+    data: tuple    # tuple of (n_chunks_p, K, C) arrays
+    cols: tuple    # tuple of (n_chunks_p, K, C) int32 arrays, in [0, W)
     bucket: tuple  # tuple of (n_chunks_p,) int32 arrays — x window index
     slab: tuple    # tuple of (n_chunks_p,) int32 arrays, non-decreasing
+    # hybrid dense side: (slab, bucket) pairs above the fill threshold are
+    # stored as explicit (W, C) blocks — y_row += x_window @ block is one
+    # MXU matvec, no densify loop (bandwidth-bound ~2.4 Gnnz/s at the
+    # threshold).  dense_vidx steers the value-block index map so dummy
+    # coverage chunks share the all-zero block 0.
+    dense_data: tuple    # tuple of (n_dense_blocks, W, C) arrays (idx 0 = zeros)
+    dense_bucket: tuple  # tuple of (n_dense_p,) int32
+    dense_slab: tuple    # tuple of (n_dense_p,) int32, non-decreasing
+    dense_vidx: tuple    # tuple of (n_dense_p,) int32 into dense_data
     n_rows: int
     n_cols: int
     nnz: int
     W: int                    # bucket width (lane window)
     K: int                    # ELL slots per (row, chunk)
     parts: tuple              # ((n_chunks, first_block, n_blocks), ...)
+    dense_parts: tuple        # same scheme for the dense chunk list
     n_rows_pad: int           # rows padded to ROWS_PER_BLOCK multiple
     n_buckets: int
 
@@ -104,14 +118,21 @@ class SELLMatrix:
         return sum(p[0] for p in self.parts)
 
     @property
+    def n_dense_chunks(self) -> int:
+        return sum(p[0] for p in self.dense_parts)
+
+    @property
     def vals(self) -> jax.Array:
         """Values view (Frobenius-norm compatible: padding slots are 0)."""
         flats = [d.reshape(-1) for d in self.data]
+        flats += [d.reshape(-1) for d in self.dense_data]
         return flats[0] if len(flats) == 1 else jnp.concatenate(flats)
 
     def astype(self, dtype) -> "SELLMatrix":
         return dataclasses.replace(
-            self, data=tuple(d.astype(dtype) for d in self.data)
+            self,
+            data=tuple(d.astype(dtype) for d in self.data),
+            dense_data=tuple(d.astype(dtype) for d in self.dense_data),
         )
 
 
@@ -168,6 +189,8 @@ def sell_from_csr(
     K: int | None = None,
     max_vreg_per_nnz: float = 24.0,
     dtype=None,
+    dense_fill_min: float = 0.012,
+    max_dense_bytes: int = 4 << 30,
 ) -> SELLMatrix | None:
     """Pack CSR into SELL, auto-tuning (W, K); None when unprofitable.
 
@@ -190,8 +213,13 @@ def sell_from_csr(
         for Wc in (128, 256, 512, 1024):
             for Kc in (4, 8, 16):
                 n_chunks = _chunk_stats(rows, ci, A.n_cols, Wc, Kc)
-                # VREG cost: 4 ops on (C, Wc) tiles per K-step + ~96 fixed
-                vregs = n_chunks * (4 * Kc * (C * Wc // 1024) + 96)
+                # VREG cost: 3 ops on (Wc, C) tiles per K-step (densify) +
+                # ~64 fixed per chunk; plus the HBM stream of the slot
+                # arrays (K padded to 8 sublanes by the tiled layout),
+                # ~1 VREG-equivalent per 1KB at ~819 GB/s ~ 1 VREG/ns
+                tile = C * Wc // 1024
+                bytes_per_chunk = 2 * max(Kc, 8) * C * 4
+                vregs = n_chunks * (3 * Kc * tile + 64 + bytes_per_chunk // 1024)
                 if best is None or vregs < best[0]:
                     best = (vregs, Wc, Kc, n_chunks)
         vregs, W, K, _ = best
@@ -199,24 +227,77 @@ def sell_from_csr(
             return None
 
     n_rows_pad = -(-n // ROWS_PER_BLOCK) * ROWS_PER_BLOCK
+    n_blocks = n_rows_pad // ROWS_PER_BLOCK
     n_buckets = max(1, -(-A.n_cols // W))
+    out_dtype = v.dtype if dtype is None else dtype
 
     slab = rows // C
     bucket = ci // W
     col_rel = (ci - bucket * W).astype(np.int32)
+    row_local = (rows - slab * C).astype(np.int64)
 
+    # --- hybrid classification: per-(slab, bucket) nonzero counts ---
+    sb_key = slab * n_buckets + bucket
+    sb_uniq, sb_inv, sb_cnt = np.unique(sb_key, return_inverse=True,
+                                        return_counts=True)
+    dense_min = int(dense_fill_min * W * C)
+    pair_dense = sb_cnt >= max(dense_min, 2 * K)
+    # cap total dense storage
+    n_dense_real = int(pair_dense.sum())
+    if n_dense_real * W * C * 4 > max_dense_bytes:
+        keep = np.argsort(sb_cnt)[::-1][: max_dense_bytes // (W * C * 4)]
+        mask = np.zeros_like(pair_dense)
+        mask[keep] = True
+        pair_dense &= mask
+        n_dense_real = int(pair_dense.sum())
+    is_dense_nnz = pair_dense[sb_inv]
+
+    # --- dense side: explicit (W, C) blocks, one per dense pair ---
+    dense_pairs = sb_uniq[pair_dense]              # ascending == slab-sorted
+    dense_slab_arr = (dense_pairs // n_buckets).astype(np.int64)
+    dense_bucket_arr = (dense_pairs % n_buckets).astype(np.int32)
+    pair_rank = np.full(sb_uniq.shape[0], -1, dtype=np.int64)
+    pair_rank[pair_dense] = np.arange(n_dense_real)
+    dense_blocks = np.zeros((n_dense_real + 1, W, C), dtype=out_dtype)
+    if n_dense_real:
+        dn = is_dense_nnz
+        didx = pair_rank[sb_inv[dn]] + 1           # 0 is the shared zero block
+        flat_d = (didx * W + col_rel[dn].astype(np.int64)) * C + row_local[dn]
+        np.add.at(dense_blocks.reshape(-1), flat_d, v[dn])
+    dense_vidx_arr = np.arange(1, n_dense_real + 1, dtype=np.int64)
+    # coverage dummies (share the zero block via vidx 0)
+    covered_d = np.zeros(n_blocks, dtype=bool)
+    covered_d[dense_slab_arr // SLABS_PER_BLOCK] = True
+    missing_d = np.flatnonzero(~covered_d)
+    if n_dense_real and missing_d.shape[0]:
+        dense_slab_arr = np.concatenate(
+            [dense_slab_arr, missing_d.astype(np.int64) * SLABS_PER_BLOCK])
+        dense_bucket_arr = np.concatenate(
+            [dense_bucket_arr, np.zeros(missing_d.shape[0], np.int32)])
+        dense_vidx_arr = np.concatenate(
+            [dense_vidx_arr, np.zeros(missing_d.shape[0], np.int64)])
+        order = np.argsort(dense_slab_arr, kind="stable")
+        dense_slab_arr = dense_slab_arr[order]
+        dense_bucket_arr = dense_bucket_arr[order]
+        dense_vidx_arr = dense_vidx_arr[order]
+
+    # --- ELL side on the remaining entries ---
+    e = ~is_dense_nnz
+    rows_e, slab_e, bucket_e = rows[e], slab[e], bucket[e]
+    col_rel_e, row_local_e, v_e = col_rel[e], row_local[e], v[e]
+    nnz_e = rows_e.shape[0]
     # position of each entry within its (row, bucket) group (groups are
-    # contiguous in CSR order)
-    key = rows * n_buckets + bucket
+    # contiguous in CSR order; dropping dense entries keeps the order)
+    key = rows_e * n_buckets + bucket_e
     new_group = np.concatenate([[True], key[1:] != key[:-1]])
-    idx = np.arange(nnz, dtype=np.int64)
+    idx = np.arange(nnz_e, dtype=np.int64)
     group_start = np.maximum.accumulate(np.where(new_group, idx, 0))
     seq = idx - group_start
     layer = seq // K
     slot = (seq - layer * K).astype(np.int64)
 
-    max_layers = int(layer.max()) + 1
-    ckey = (slab * n_buckets + bucket) * max_layers + layer
+    max_layers = int(layer.max()) + 1 if nnz_e else 1
+    ckey = (slab_e * n_buckets + bucket_e) * max_layers + layer
     uniq, inv = np.unique(ckey, return_inverse=True)
     n_chunks = uniq.shape[0]
 
@@ -224,9 +305,9 @@ def sell_from_csr(
     chunk_bucket = (uniq // max_layers % n_buckets).astype(np.int32)
 
     # ensure every output block has a chunk (zero-init coverage)
-    n_blocks = n_rows_pad // ROWS_PER_BLOCK
     covered = np.zeros(n_blocks, dtype=bool)
-    covered[chunk_slab // SLABS_PER_BLOCK] = True
+    if n_chunks:
+        covered[chunk_slab // SLABS_PER_BLOCK] = True
     missing = np.flatnonzero(~covered)
     n_dummy = missing.shape[0]
     if n_dummy:
@@ -243,16 +324,13 @@ def sell_from_csr(
         chunk_bucket = chunk_bucket[order]
         n_chunks += n_dummy
 
-    vals_arr = np.zeros((n_chunks, C, K),
-                        dtype=v.dtype if dtype is None else dtype)
-    cols_arr = np.zeros((n_chunks, C, K), dtype=np.int32)
-    row_local = (rows - slab * C).astype(np.int64)
-    flat = (inv * C + row_local) * K + slot
-    vals_arr.reshape(-1)[flat] = v
-    cols_arr.reshape(-1)[flat] = col_rel
+    vals_arr = np.zeros((n_chunks, K, C), dtype=out_dtype)
+    cols_arr = np.zeros((n_chunks, K, C), dtype=np.int32)
+    flat = (inv * K + slot) * C + row_local_e
+    vals_arr.reshape(-1)[flat] = v_e
+    cols_arr.reshape(-1)[flat] = col_rel_e
 
-    chunk_blocks = chunk_slab // SLABS_PER_BLOCK
-    splits = _plan_parts(chunk_blocks, n_blocks)
+    splits = _plan_parts(chunk_slab // SLABS_PER_BLOCK, n_blocks)
     data_p, cols_p, bucket_p, slab_p, parts = [], [], [], [], []
     for (lo, hi, blk_lo, blk_hi) in splits:
         data_p.append(vals_arr[lo:hi])
@@ -261,17 +339,31 @@ def sell_from_csr(
         slab_p.append(jnp.asarray(chunk_slab[lo:hi].astype(np.int32)))
         parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
 
+    dbucket_p, dslab_p, dvidx_p, dense_parts = [], [], [], []
+    if n_dense_real:
+        dsplits = _plan_parts(dense_slab_arr // SLABS_PER_BLOCK, n_blocks)
+        for (lo, hi, blk_lo, blk_hi) in dsplits:
+            dbucket_p.append(jnp.asarray(dense_bucket_arr[lo:hi]))
+            dslab_p.append(jnp.asarray(dense_slab_arr[lo:hi].astype(np.int32)))
+            dvidx_p.append(jnp.asarray(dense_vidx_arr[lo:hi].astype(np.int32)))
+            dense_parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
+
     return SELLMatrix(
         data=tuple(jnp.asarray(d) for d in data_p),
         cols=tuple(jnp.asarray(c) for c in cols_p),
         bucket=tuple(bucket_p),
         slab=tuple(slab_p),
+        dense_data=(jnp.asarray(dense_blocks),),
+        dense_bucket=tuple(dbucket_p),
+        dense_slab=tuple(dslab_p),
+        dense_vidx=tuple(dvidx_p),
         n_rows=n,
         n_cols=A.n_cols,
         nnz=nnz,
         W=W,
         K=K,
         parts=tuple(parts),
+        dense_parts=tuple(dense_parts),
         n_rows_pad=n_rows_pad,
         n_buckets=n_buckets,
     )
@@ -293,9 +385,17 @@ def sell_spmv_xla(A: SELLMatrix, x: jax.Array) -> jax.Array:
     y = jnp.zeros((A.n_rows_pad // C, C), dtype=A.dtype)
     for p in range(len(A.parts)):
         gcols = A.cols[p] + A.bucket[p][:, None, None].astype(jnp.int32) * A.W
-        prod = A.data[p] * xp[gcols]             # (n_chunks_p, C, K)
-        contrib = prod.sum(axis=2)               # (n_chunks_p, C)
+        prod = A.data[p] * xp[gcols]             # (n_chunks_p, K, C)
+        contrib = prod.sum(axis=1)               # (n_chunks_p, C)
         y = y.at[A.slab[p]].add(contrib)
+    xp2 = xp.reshape(A.n_buckets, A.W)
+    blocks = A.dense_data[0]
+    for p in range(len(A.dense_parts)):
+        win = xp2[A.dense_bucket[p]]             # (n_dense_p, W)
+        blk = blocks[A.dense_vidx[p]]            # (n_dense_p, W, C)
+        contrib = jnp.einsum("pw,pwc->pc", win, blk,
+                             precision=jax.lax.Precision.HIGHEST)
+        y = y.at[A.dense_slab[p]].add(contrib)
     return y.reshape(-1)[: A.n_rows]
 
 

@@ -20,7 +20,12 @@ from __future__ import annotations
 import jax
 
 from gmres_tpu.ops.spmv import spmv
-from gmres_tpu.precond.build import IdentityPrec, ILUJacobiPrec, JacobiPrec
+from gmres_tpu.precond.build import (
+    ExactILUDIAPrec,
+    IdentityPrec,
+    ILUJacobiPrec,
+    JacobiPrec,
+)
 
 
 def _ilu_jacobi_apply(M: ILUJacobiPrec, w: jax.Array, axis_name: str | None,
@@ -51,6 +56,18 @@ def apply_preconditioner(M, w: jax.Array, axis_name: str | None = None,
         return M.inv_diag * w
     if isinstance(M, ILUJacobiPrec):
         return _ilu_jacobi_apply(M, w, axis_name, use_pallas)
+    if isinstance(M, ExactILUDIAPrec):
+        if axis_name is not None:
+            raise TypeError(
+                "exact-ILU triangular solves are single-device (the fused "
+                "VMEM kernel); use precond='ilu_jacobi' when distributed"
+            )
+        from gmres_tpu.ops.pallas.trisolve_kernel import ilu_trisolve_fused
+
+        return ilu_trisolve_fused(
+            M.lower_bands, M.upper_bands, M.inv_diag, w,
+            M.offs_l, M.offs_u, M.steps_l, M.steps_u,
+        )
     raise TypeError(f"unknown preconditioner {type(M)}")
 
 

@@ -483,13 +483,27 @@ def _pad_prec(M, n_pad: int):
     inv_diag 1.0 (they only ever see zero inputs) and zero factor rows."""
     import dataclasses as _dc
 
-    from gmres_tpu.precond.build import IdentityPrec, ILUJacobiPrec, JacobiPrec
+    from gmres_tpu.precond.build import (
+        ExactILUDIAPrec,
+        IdentityPrec,
+        ILUJacobiPrec,
+        JacobiPrec,
+    )
 
     if isinstance(M, IdentityPrec):
         return M
     n = M.inv_diag.shape[0]
-    if n == n_pad:
+    if n >= n_pad:
         return M
+    if isinstance(M, ExactILUDIAPrec):
+        pad = n_pad - n
+        return _dc.replace(
+            M,
+            lower_bands=jnp.pad(jnp.asarray(M.lower_bands), ((0, 0), (0, pad))),
+            upper_bands=jnp.pad(jnp.asarray(M.upper_bands), ((0, 0), (0, pad))),
+            inv_diag=jnp.pad(jnp.asarray(M.inv_diag), (0, pad),
+                             constant_values=1.0),
+        )
     inv_diag = jnp.pad(jnp.asarray(M.inv_diag), (0, n_pad - n),
                        constant_values=1.0)
     if isinstance(M, JacobiPrec):

@@ -155,3 +155,39 @@ def test_solve_with_sell_operator():
     np.testing.assert_allclose(
         np.asarray(res_sell.x), x_true, rtol=1e-6, atol=1e-8
     )
+
+
+def test_hybrid_dense_chunks():
+    """(slab, bucket) pairs above the fill threshold become dense blocks;
+    result must match across XLA and interpret-kernel paths."""
+    n = 1500
+    rng = np.random.default_rng(11)
+    # rows 0..255 densely coupled to cols 0..127 (fill ~40% in that pair),
+    # everything else sparse local
+    rows, cols = [], []
+    for i in range(256):
+        c = np.unique(rng.integers(0, 128, size=50))
+        rows.extend([i] * len(c))
+        cols.extend(c.tolist())
+    for i in range(n):
+        c = np.unique(np.clip(i + rng.integers(-60, 60, size=3), 0, n - 1))
+        rows.extend([i] * len(c))
+        cols.extend(c.tolist())
+        rows.append(i)
+        cols.append(i)
+    vals = rng.standard_normal(len(rows))
+    A = csr_from_coo(np.asarray(rows), np.asarray(cols), vals, n_rows=n)
+    S = sell_from_csr(A, W=128, K=4)
+    assert S is not None
+    assert S.n_dense_chunks > 0, "expected dense chunks"
+    x = rng.standard_normal(n)
+    want = A.to_scipy() @ x
+    got_xla = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-9, atol=1e-9)
+
+    from gmres_tpu.ops.pallas.sell_kernel import sell_spmv_pallas
+
+    got_k = np.asarray(sell_spmv_pallas(S.astype(jnp.float32),
+                                        jnp.asarray(x, jnp.float32),
+                                        interpret=True))
+    np.testing.assert_allclose(got_k, want, rtol=1e-4, atol=1e-4)
