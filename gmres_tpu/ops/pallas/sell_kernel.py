@@ -65,8 +65,9 @@ def _sell_kernel(bucket_ref, slab_ref, vals_ref, cols_ref, x_ref, y_ref, *,
             iota == cols[k:k + 1, :], vals[k:k + 1, :],
             jnp.zeros((), vals.dtype),
         )
-    # HIGHEST precision: the MXU's default f32 path rounds through bf16
-    # passes (measured 1.8e-3 relative error on the SpMV)
+    # HIGHEST precision: the MXU's default f32 path rounds through one
+    # bf16 pass (measured 1.8e-3 relative error on the SpMV); Mosaic
+    # supports only DEFAULT and HIGHEST
     y_row = jnp.dot(xw, dense, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)  # (1, C)
 

@@ -53,6 +53,10 @@ from gmres_tpu.sparse import CSRMatrix
 _HI = jax.lax.Precision.HIGHEST
 _f64 = jnp.float64
 
+# Test hook: force the unrolled post-hoc-trigger policy path off-TPU so CPU
+# CI exercises the variant that actually runs on hardware.
+_FORCE_POLICY_UNROLL = False
+
 
 class CycleInfo(NamedTuple):
     """Per-restart scalars returned to the host (one fetch per cycle)."""
@@ -81,7 +85,23 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
     # small Givens/bookkeeping ops per iteration fuse across iterations,
     # and the per-op fixed cost (measured ~0.1-0.2 ms per op inside
     # rolled device loops here) disappears.
+    #
+    # Non-FIXED policies get the SAME unrolled loop on TPU: the cycle runs
+    # all m iterations and the restart trigger is selected post hoc.  This
+    # is numerically identical to early exit because a Givens rotation G_j
+    # only mixes rows j, j+1 — iterations past the trigger t touch only
+    # s[j >= t] and H columns >= t, which the solution update (bounded by
+    # kdim = t) never reads; the per-iteration |s(k+1)| proxy is recorded
+    # before later rotations can touch its row.  Trade-off: up to m - t
+    # wasted (but fused-fast) iterations per cycle vs ~10x per-op dispatch
+    # overhead in the rolled device loop — measured strongly in favor of
+    # unrolling at bench scale (BASELINE.md policy rows).
     fixed_fast = cfg.policy == RestartPolicy.FIXED
+    unroll_all = (
+        fixed_fast
+        or jax.default_backend() == "tpu"
+        or _FORCE_POLICY_UNROLL
+    )
 
     V0 = jnp.zeros((m + 1, n_local), dtype=in_dt)
     v0 = jnp.where(beta != 0, w0 / beta, jnp.zeros_like(w0))
@@ -99,6 +119,8 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         bd=jnp.asarray(False),
         done=jnp.asarray(False),
         loss_sq=jnp.asarray(0.0, _f64),
+        trig_k=jnp.asarray(m, jnp.int32),   # first k1 where the policy fired
+        arn=jnp.zeros((max(m, 1),), _f64),  # |s(k+1)| after iteration k
     )
 
     def cond(c):
@@ -148,43 +170,51 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         )
         # |s(k+1)| with s = Q @ (beta e1)
         arnoldi = jnp.abs(beta * Q[k1, 0]).astype(_f64)
+        arn = c["arn"].at[k].set(arnoldi)
 
         # --- restart policy (IterUtil.hpp check()) ---
-        restart = cfg.m <= k1
+        pol_trigger = jnp.asarray(False)
         if cfg.policy == RestartPolicy.REL_PREC_RES:
-            restart = restart | (arnoldi / minvb_norm <= restart_tol)
+            pol_trigger = arnoldi / minvb_norm <= restart_tol
         elif cfg.policy == RestartPolicy.REPEAT_ITERATION:
-            trigger = jnp.where(
+            pol_trigger = jnp.where(
                 pstate.is_first,
                 arnoldi / minvb_norm <= restart_tol,
                 pstate.second_restart_length <= k1,
             )
-            restart = restart | trigger
         loss_sq = c["loss_sq"]
         S = c["S"]
         if orthloss:
             u = _masked_gram(V, v_next, k, axis)  # <v_j, v_{k+1}>, j<=k
-            s_col = u - jnp.matmul(S[: m + 1, : m + 1], u, precision=_HI)
             mask = jnp.arange(m + 1) <= k
+            s_col = u - jnp.matmul(S[: m + 1, : m + 1], u, precision=_HI)
             s_col = jnp.where(mask, s_col, 0)
             S = jax.lax.dynamic_update_slice(S, s_col[:, None], (jnp.int32(0), k1))
             loss_sq = loss_sq + jnp.dot(s_col, s_col, precision=_HI).astype(_f64)
-            restart = restart | (loss_sq >= cfg.restart_improvement**2)
+            pol_trigger = pol_trigger | (loss_sq >= cfg.restart_improvement**2)
+        trig_k = jnp.minimum(
+            c["trig_k"], jnp.where(pol_trigger, k1, jnp.asarray(m, jnp.int32))
+        )
+        restart = (cfg.m <= k1) | pol_trigger
 
         return dict(V=V, H=H, Q=Q, S=S, k=k1, kdim=kdim, bd=bd,
-                    done=restart, loss_sq=loss_sq)
+                    done=restart, loss_sq=loss_sq, trig_k=trig_k, arn=arn)
 
-    if fixed_fast:
+    if unroll_all:
         # static trip count -> unrolled scan: dynamic indices become
         # static, small ops fuse across iterations.  Only worth the
         # compile-time cost where per-op dispatch overhead is real (TPU);
-        # CPU (tests) keeps the rolled loop.
-        unroll = jax.default_backend() == "tpu"
+        # CPU (tests) keeps the rolled loop for non-forced runs.
+        unroll = jax.default_backend() == "tpu" or _FORCE_POLICY_UNROLL
         final = jax.lax.fori_loop(
             0, m, lambda i, c: body(c), carry0, unroll=unroll
         )
+        # post-hoc trigger selection: the cycle effectively ended at trig_k
+        final["k"] = jnp.minimum(final["k"], final["trig_k"])
+        final["kdim"] = jnp.minimum(final["kdim"], final["trig_k"])
     else:
         final = jax.lax.while_loop(cond, body, carry0)
+        final["k"] = jnp.minimum(final["k"], final["trig_k"])
     return final
 
 
@@ -280,7 +310,10 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
             x_new = axpy_df64(x[0], x[1], x_inc.astype(jnp.float32))
         else:
             x_new = x + x_inc.astype(out_dt)
-        arnoldi_final = jnp.abs(s_fin[jnp.minimum(k_fin, m)]).astype(_f64)
+        # |s(k+1)| at the (possibly post-hoc) cycle end: read the recorded
+        # per-iteration proxy — rotations after the trigger have already
+        # touched row k_fin of Q, so s_fin[k_fin] would be stale
+        arnoldi_final = final["arn"][jnp.maximum(k_fin - 1, 0)]
         new_pstate = PolicyState(
             is_first=jnp.asarray(False),
             second_restart_length=jnp.where(

@@ -107,6 +107,8 @@ def main():
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--dense-min", type=float, default=0.012,
                     help="dense fill threshold (1.0 disables dense chunks)")
+    ap.add_argument("--W", type=int, default=None)
+    ap.add_argument("--K", type=int, default=None)
     args = ap.parse_args()
 
     from gmres_tpu.ops.dia import from_csr
@@ -123,7 +125,7 @@ def main():
     assert from_csr(A) is None, "DIA accepted it — wrong test matrix"
 
     t0 = time.perf_counter()
-    S = sell_from_csr(A, dense_fill_min=args.dense_min)
+    S = sell_from_csr(A, W=args.W, K=args.K, dense_fill_min=args.dense_min)
     assert S is not None, "SELL cost gate refused"
     print(f"SELL: W={S.W} K={S.K} chunks={S.n_chunks} dense={S.n_dense_chunks} "
           f"parts={len(S.parts)} slots/nnz={S.n_chunks*128*S.K/S.nnz:.2f} "

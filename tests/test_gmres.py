@@ -252,3 +252,42 @@ def test_random_diag_dominant():
     res = solve(A, b, cfg)
     assert res.converged
     assert backward_error(A, res.x, b) <= 1e-8
+
+
+@pytest.mark.parametrize("policy_kw", [
+    dict(rtol=1e-2),                      # REL_PREC_RES
+    dict(rtol=1e-2, repeat_iter=True),    # REPEAT_ITERATION
+    dict(rtol=1e-2, orthloss=True),       # LOST_ORTHOGONALITY
+])
+def test_policy_unrolled_matches_rolled(policy_kw):
+    """The TPU unrolled post-hoc-trigger path must reproduce the rolled
+    while_loop's convergence history exactly (VERDICT round-1 item 6)."""
+    import gmres_tpu.solver.gmres as gmres_mod
+
+    A = convection_diffusion_2d(12, beta=1.5)
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig.from_flags(
+        mode="mixed", orth="cgsr", prec="identity",
+        rlen=15, tol=1e-9, max_restarts=200, **policy_kw,
+    )
+    assert cfg.policy != RestartPolicy.FIXED
+
+    res_rolled = solve(A, b, cfg, record_history=True)
+    assert gmres_mod._FORCE_POLICY_UNROLL is False
+    gmres_mod._FORCE_POLICY_UNROLL = True
+    try:
+        res_unrolled = solve(A, b, cfg, record_history=True)
+    finally:
+        gmres_mod._FORCE_POLICY_UNROLL = False
+
+    assert res_unrolled.converged == res_rolled.converged
+    assert res_unrolled.restarts == res_rolled.restarts
+    assert res_unrolled.total_iters == res_rolled.total_iters
+    ks_r = [h["k"] for h in res_rolled.history]
+    ks_u = [h["k"] for h in res_unrolled.history]
+    assert ks_r == ks_u
+    for hr, hu in zip(res_rolled.history, res_unrolled.history):
+        if "arnoldi_final" in hr:
+            np.testing.assert_allclose(hu["arnoldi_final"],
+                                       hr["arnoldi_final"], rtol=1e-10)
