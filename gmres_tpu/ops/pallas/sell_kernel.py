@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gmres_tpu.ops.sell import C, SLABS_PER_BLOCK, SELLMatrix, _pad_x
 
 
-def _sell_kernel(bucket_ref, slab_ref, vals_ref, cols_ref, x_ref, y_ref, *,
+def _sell_kernel(bucket_ref, slab_ref, packed_ref, x_ref, y_ref, *,
                  W: int, K: int):
     g = pl.program_id(0)
     slab_g = slab_ref[g]
@@ -50,8 +50,9 @@ def _sell_kernel(bucket_ref, slab_ref, vals_ref, cols_ref, x_ref, y_ref, *,
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    vals = vals_ref[0]  # (K, C)
-    cols = cols_ref[0]  # (K, C) int32 in [0, W)
+    buf = packed_ref[0]  # (2K, C): [vals_f32 ; bitcast cols]
+    vals = buf[:K]
+    cols = jax.lax.bitcast_convert_type(buf[K:], jnp.int32)
     xw = x_ref[0]       # (1, W) — the chunk's bucket window
     # Densify the slab with the window along SUBLANES and the 128 rows
     # along LANES: dense[w, r] = sum of slot values with column w in row r
@@ -136,7 +137,7 @@ def _dense_call(bucket, slab, vidx, blocks, xp, *, W, n_chunks, n_slabs,
     static_argnames=("W", "K", "n_chunks", "n_slabs", "first_block",
                      "interpret"),
 )
-def _sell_call(bucket, slab, vals, cols, xp, *, W, K, n_chunks, n_slabs,
+def _sell_call(bucket, slab, packed, xp, *, W, K, n_chunks, n_slabs,
                first_block, interpret=False):
     kernel = functools.partial(_sell_kernel, W=W, K=K)
     with jax.enable_x64(False):
@@ -144,9 +145,7 @@ def _sell_call(bucket, slab, vals, cols, xp, *, W, K, n_chunks, n_slabs,
             num_scalar_prefetch=2,
             grid=(n_chunks,),
             in_specs=[
-                pl.BlockSpec((1, K, C), lambda g, bk, sl: (g, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, K, C), lambda g, bk, sl: (g, 0, 0),
+                pl.BlockSpec((1, 2 * K, C), lambda g, bk, sl: (g, 0, 0),
                              memory_space=pltpu.VMEM),
                 # x as (n_buckets, 1, W): the block's trailing dims then
                 # equal the array's, which Mosaic accepts for any W (a 1D
@@ -164,9 +163,9 @@ def _sell_call(bucket, slab, vals, cols, xp, *, W, K, n_chunks, n_slabs,
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_slabs, C), vals.dtype),
+            out_shape=jax.ShapeDtypeStruct((n_slabs, C), packed.dtype),
             interpret=interpret,
-        )(bucket, slab, vals, cols, xp)
+        )(bucket, slab, packed, xp)
 
 
 def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,
@@ -192,7 +191,7 @@ def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,
     outs = []
     for p, (n_chunks, first_block, n_blocks) in enumerate(A.parts):
         outs.append(_sell_call(
-            A.bucket[p], A.slab[p], A.data[p], A.cols[p], xp,
+            A.bucket[p], A.slab[p], A.packed[p], xp,
             W=A.W, K=A.K, n_chunks=n_chunks,
             n_slabs=n_blocks * SLABS_PER_BLOCK,
             first_block=first_block, interpret=interpret,

@@ -61,7 +61,7 @@ MAX_CHUNKS_PER_CALL = 32768
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("data", "cols", "bucket", "slab", "dense_data",
+    data_fields=("data", "cols", "packed", "bucket", "slab", "dense_data",
                  "dense_bucket", "dense_slab", "dense_vidx"),
     meta_fields=("n_rows", "n_cols", "nnz", "W", "K", "parts",
                  "dense_parts", "n_rows_pad", "n_buckets"),
@@ -84,6 +84,11 @@ class SELLMatrix:
 
     data: tuple    # tuple of (n_chunks_p, K, C) arrays
     cols: tuple    # tuple of (n_chunks_p, K, C) int32 arrays, in [0, W)
+    # kernel view: vals and bitcast cols merged into one (2K, C) f32 block
+    # per chunk — ONE DMA instead of two (the kernel is DMA-transaction
+    # bound; probed in scripts/probe_sell_cost.py), and 2K is a multiple
+    # of the 8-sublane tile so nothing pads
+    packed: tuple  # tuple of (n_chunks_p, 2K, C) f32 arrays
     bucket: tuple  # tuple of (n_chunks_p,) int32 arrays — x window index
     slab: tuple    # tuple of (n_chunks_p,) int32 arrays, non-decreasing
     # hybrid dense side: (slab, bucket) pairs above the fill threshold are
@@ -129,6 +134,7 @@ class SELLMatrix:
         return flats[0] if len(flats) == 1 else jnp.concatenate(flats)
 
     def astype(self, dtype) -> "SELLMatrix":
+        # ``packed`` stays f32 by construction (the kernel view)
         return dataclasses.replace(
             self,
             data=tuple(d.astype(dtype) for d in self.data),
@@ -213,16 +219,17 @@ def sell_from_csr(
         for Wc in (128, 256, 512, 1024):
             for Kc in (4, 8, 16):
                 n_chunks = _chunk_stats(rows, ci, A.n_cols, Wc, Kc)
-                # VREG cost: 3 ops on (Wc, C) tiles per K-step (densify) +
-                # ~64 fixed per chunk; plus the HBM stream of the slot
-                # arrays (K padded to 8 sublanes by the tiled layout),
-                # ~1 VREG-equivalent per 1KB at ~819 GB/s ~ 1 VREG/ns
-                tile = C * Wc // 1024
-                bytes_per_chunk = 2 * max(Kc, 8) * C * 4
-                vregs = n_chunks * (3 * Kc * tile + 64 + bytes_per_chunk // 1024)
-                if best is None or vregs < best[0]:
-                    best = (vregs, Wc, Kc, n_chunks)
+                # Empirical per-chunk cost in ~ns (probe_sell_cost.py):
+                # the kernel is DMA-transaction + MXU-matvec bound; the
+                # VPU densify hides under the pipeline.  ~160 fixed
+                # (window DMA + output update + pipeline), ~0.25/W-lane
+                # (matvec weight stream), ~0.012/byte of slot DMA.
+                slot_bytes = 2 * Kc * C * 4
+                cost = n_chunks * (160 + Wc // 4 + slot_bytes // 80)
+                if best is None or cost < best[0]:
+                    best = (cost, Wc, Kc, n_chunks)
         vregs, W, K, _ = best
+        vregs = vregs // 2  # rough ns -> VREG-equivalent for the gate
         if vregs / nnz > max_vreg_per_nnz:
             return None
 
@@ -330,11 +337,15 @@ def sell_from_csr(
     vals_arr.reshape(-1)[flat] = v_e
     cols_arr.reshape(-1)[flat] = col_rel_e
 
+    merged = np.concatenate(
+        [vals_arr.astype(np.float32), cols_arr.view(np.float32)], axis=1
+    )
     splits = _plan_parts(chunk_slab // SLABS_PER_BLOCK, n_blocks)
-    data_p, cols_p, bucket_p, slab_p, parts = [], [], [], [], []
+    data_p, cols_p, packed_p, bucket_p, slab_p, parts = [], [], [], [], [], []
     for (lo, hi, blk_lo, blk_hi) in splits:
         data_p.append(vals_arr[lo:hi])
         cols_p.append(cols_arr[lo:hi])
+        packed_p.append(jnp.asarray(merged[lo:hi]))
         bucket_p.append(jnp.asarray(chunk_bucket[lo:hi]))
         slab_p.append(jnp.asarray(chunk_slab[lo:hi].astype(np.int32)))
         parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
@@ -351,6 +362,7 @@ def sell_from_csr(
     return SELLMatrix(
         data=tuple(jnp.asarray(d) for d in data_p),
         cols=tuple(jnp.asarray(c) for c in cols_p),
+        packed=tuple(packed_p),
         bucket=tuple(bucket_p),
         slab=tuple(slab_p),
         dense_data=(jnp.asarray(dense_blocks),),
