@@ -35,45 +35,49 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gmres_tpu.ops.sell import C, SLABS_PER_BLOCK, SELLMatrix, _pad_x
+from gmres_tpu.ops.sell import C, G_BATCH, SLABS_PER_BLOCK, SELLMatrix, _pad_x
 
 
-def _sell_kernel(bucket_ref, slab_ref, packed_ref, x_ref, y_ref, *,
-                 W: int, K: int):
-    g = pl.program_id(0)
-    slab_g = slab_ref[g]
-    blk = slab_g // SLABS_PER_BLOCK
-    prev_blk = slab_ref[jnp.maximum(g - 1, 0)] // SLABS_PER_BLOCK
-    is_first = jnp.logical_or(g == 0, blk != prev_blk)
+def _sell_kernel(bucket_ref, slab_ref, packed_ref, *rest, W: int, K: int,
+                 G: int):
+    """One grid step = G chunks of one output block (the per-step pipeline
+    overhead dominates per-chunk compute — batching amortizes it)."""
+    x_refs = rest[:G]
+    y_ref = rest[G]
+    step = pl.program_id(0)
+    base = step * G
+    blk = slab_ref[base] // SLABS_PER_BLOCK
+    prev_blk = slab_ref[jnp.maximum(base - G, 0)] // SLABS_PER_BLOCK
+    is_first = jnp.logical_or(step == 0, blk != prev_blk)
 
     @pl.when(is_first)
     def _():
         y_ref[...] = jnp.zeros_like(y_ref)
 
-    buf = packed_ref[0]  # (2K, C): [vals_f32 ; bitcast cols]
-    vals = buf[:K]
-    cols = jax.lax.bitcast_convert_type(buf[K:], jnp.int32)
-    xw = x_ref[0]       # (1, W) — the chunk's bucket window
-    # Densify the slab with the window along SUBLANES and the 128 rows
-    # along LANES: dense[w, r] = sum of slot values with column w in row r
-    # (cmp + select + add per slot).  The contraction over w is then one
-    # MXU matvec, and the result lands lane-oriented — exactly the output
-    # block's row layout, no relayout.
     iota = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
-    dense = jnp.zeros((W, C), vals.dtype)
-    for k in range(K):
-        dense = dense + jnp.where(
-            iota == cols[k:k + 1, :], vals[k:k + 1, :],
-            jnp.zeros((), vals.dtype),
-        )
-    # HIGHEST precision: the MXU's default f32 path rounds through one
-    # bf16 pass (measured 1.8e-3 relative error on the SpMV); Mosaic
-    # supports only DEFAULT and HIGHEST
-    y_row = jnp.dot(xw, dense, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (1, C)
-
-    row = slab_g - blk * SLABS_PER_BLOCK
-    y_ref[pl.ds(row, 1), :] += y_row.astype(vals.dtype)
+    for i in range(G):
+        buf = packed_ref[i]  # (2K, C): [vals_f32 ; bitcast cols]
+        vals = buf[:K]
+        cols = jax.lax.bitcast_convert_type(buf[K:], jnp.int32)
+        xw = x_refs[i][0]    # (1, W) — this chunk's bucket window
+        # Densify the slab with the window along SUBLANES and the 128
+        # rows along LANES: dense[w, r] = sum of slot values with column
+        # w in row r (cmp + select + add per slot).  The contraction over
+        # w is then one MXU matvec, and the result lands lane-oriented —
+        # exactly the output block's row layout, no relayout.
+        dense = jnp.zeros((W, C), vals.dtype)
+        for k in range(K):
+            dense = dense + jnp.where(
+                iota == cols[k:k + 1, :], vals[k:k + 1, :],
+                jnp.zeros((), vals.dtype),
+            )
+        # HIGHEST precision: the MXU's default f32 path rounds through one
+        # bf16 pass (measured 1.8e-3 relative error on the SpMV); Mosaic
+        # supports only DEFAULT and HIGHEST
+        y_row = jnp.dot(xw, dense, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (1, C)
+        row = slab_ref[base + i] - blk * SLABS_PER_BLOCK
+        y_ref[pl.ds(row, 1), :] += y_row.astype(vals.dtype)
 
 
 def _sell_dense_kernel(bucket_ref, slab_ref, vidx_ref, blocks_ref, x_ref,
@@ -139,24 +143,33 @@ def _dense_call(bucket, slab, vidx, blocks, xp, *, W, n_chunks, n_slabs,
 )
 def _sell_call(bucket, slab, packed, xp, *, W, K, n_chunks, n_slabs,
                first_block, interpret=False):
-    kernel = functools.partial(_sell_kernel, W=W, K=K)
+    G = G_BATCH
+    assert n_chunks % G == 0, n_chunks
+    kernel = functools.partial(_sell_kernel, W=W, K=K, G=G)
+
+    def win_spec(i):
+        # x as (n_buckets, 1, W): the block's trailing dims then equal the
+        # array's, which Mosaic accepts for any W (a 1D W-block fails
+        # layout verification; a 2D (1, W) block fails the
+        # divisible-by-8 sublane rule)
+        return pl.BlockSpec(
+            (1, 1, W),
+            lambda g, bk, sl, i=i: (bk[g * G + i], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n_chunks,),
+            grid=(n_chunks // G,),
             in_specs=[
-                pl.BlockSpec((1, 2 * K, C), lambda g, bk, sl: (g, 0, 0),
+                pl.BlockSpec((G, 2 * K, C), lambda g, bk, sl: (g, 0, 0),
                              memory_space=pltpu.VMEM),
-                # x as (n_buckets, 1, W): the block's trailing dims then
-                # equal the array's, which Mosaic accepts for any W (a 1D
-                # W-block fails layout verification; a 2D (1, W) block
-                # fails the divisible-by-8 sublane rule)
-                pl.BlockSpec((1, 1, W), lambda g, bk, sl: (bk[g], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            ] + [win_spec(i) for i in range(G)],
             out_specs=pl.BlockSpec(
                 (SLABS_PER_BLOCK, C),
-                lambda g, bk, sl: (sl[g] // SLABS_PER_BLOCK - first_block, 0),
+                lambda g, bk, sl: (sl[g * G] // SLABS_PER_BLOCK - first_block,
+                                   0),
                 memory_space=pltpu.VMEM,
             ),
         )
@@ -165,7 +178,7 @@ def _sell_call(bucket, slab, packed, xp, *, W, K, n_chunks, n_slabs,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_slabs, C), packed.dtype),
             interpret=interpret,
-        )(bucket, slab, packed, xp)
+        )(bucket, slab, packed, *([xp] * G))
 
 
 def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,

@@ -58,6 +58,13 @@ ROWS_PER_BLOCK = C * SLABS_PER_BLOCK
 # parts no longer than this (2 int32 arrays of this length per call).
 MAX_CHUNKS_PER_CALL = 32768
 
+# ELL chunks processed per grid step (one fat slot DMA + G windows + G
+# matvecs per step): the per-step pipeline overhead (~400 ns measured,
+# scripts/probe_sell_cost.py) dominates per-chunk costs, so batching is
+# the main throughput lever.  Chunk counts are padded to a multiple of G
+# within every output block (a step never crosses blocks).
+G_BATCH = 4
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -311,14 +318,17 @@ def sell_from_csr(
     chunk_slab = (uniq // max_layers // n_buckets).astype(np.int64)
     chunk_bucket = (uniq // max_layers % n_buckets).astype(np.int32)
 
-    # ensure every output block has a chunk (zero-init coverage)
-    covered = np.zeros(n_blocks, dtype=bool)
+    # ensure every output block has a chunk (zero-init coverage), then pad
+    # every block's chunk count to a multiple of G_BATCH (a grid step
+    # processes G chunks of one output block)
+    covered = np.zeros(n_blocks, dtype=np.int64)
     if n_chunks:
-        covered[chunk_slab // SLABS_PER_BLOCK] = True
-    missing = np.flatnonzero(~covered)
-    n_dummy = missing.shape[0]
+        np.add.at(covered, chunk_slab // SLABS_PER_BLOCK, 1)
+    need = np.where(covered == 0, G_BATCH, (-covered) % G_BATCH)
+    n_dummy = int(need.sum())
     if n_dummy:
-        dummy_slab = missing.astype(np.int64) * SLABS_PER_BLOCK
+        dummy_blocks = np.repeat(np.arange(n_blocks, dtype=np.int64), need)
+        dummy_slab = dummy_blocks * SLABS_PER_BLOCK
         chunk_slab = np.concatenate([chunk_slab, dummy_slab])
         chunk_bucket = np.concatenate(
             [chunk_bucket, np.zeros(n_dummy, np.int32)]

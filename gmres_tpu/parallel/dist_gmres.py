@@ -174,12 +174,24 @@ def solve_distributed(
     record_history: bool = False,
     progress=None,
     force_df64: bool = False,
+    multihost: bool = False,
 ) -> GmresResult:
     """Row-partitioned GMRES over all devices (or the given mesh).
 
     ``force_df64`` opts the fp64 outer residual into the double-float halo
     kernels off-TPU (they run in interpret mode there) — a testing hook;
-    on TPU the df64 staging is automatic for halo-DIA operators."""
+    on TPU the df64 staging is automatic for halo-DIA operators.
+
+    ``multihost=True`` runs over a process-spanning mesh (SURVEY.md §5.8):
+    call ``gmres_tpu.parallel.multihost.initialize`` (or
+    ``jax.distributed.initialize``) first, then invoke this with identical
+    arguments on EVERY process.  Shards are materialized per host via
+    ``jax.make_array_from_callback`` — each process uploads only the row
+    blocks its local devices own — and the driver's per-chunk fetch reads
+    only replicated scalars, so all processes run the same host loop in
+    lockstep.  ``result.x`` is then a global (process-spanning) array.
+    Validated under 2 simulated CPU processes in tests/test_multihost.py.
+    """
     cfg = cfg or GmresConfig()
     if mesh is None:
         mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
@@ -228,15 +240,26 @@ def solve_distributed(
         df64_active = True
 
     shard0 = NamedSharding(mesh, P(AXIS))
-    put = lambda t: jax.tree.map(lambda a: jax.device_put(a, shard0), t)
+
+    def _to_device(a):
+        a = np.asarray(a)
+        if multihost:
+            # per-host shard materialization: the callback is only invoked
+            # for indices this process's devices own
+            return jax.make_array_from_callback(
+                a.shape, shard0, lambda idx, a=a: a[idx]
+            )
+        return jax.device_put(a, shard0)
+
+    put = lambda t: jax.tree.map(_to_device, t)
     Ao_p, Ai_p = put(Ao_p), put(Ai_p)
     M_p = put(M_p) if not isinstance(M_p, IdentityPrec) else M_p
 
-    b_pad = jax.device_put(pad_vector(np.asarray(b, dtype=out_dt), n_shards), shard0)
+    b_pad = _to_device(pad_vector(np.asarray(b, dtype=out_dt), n_shards))
     if x0 is None:
-        x = jnp.zeros_like(b_pad)
+        x = jax.jit(jnp.zeros_like, out_shardings=shard0)(b_pad)
     else:
-        x = jax.device_put(pad_vector(np.asarray(x0, dtype=out_dt), n_shards), shard0)
+        x = _to_device(pad_vector(np.asarray(x0, dtype=out_dt), n_shards))
     if df64_active:
         from gmres_tpu.ops.pallas.df64_kernel import merge_f64, split_f64
 
@@ -254,7 +277,13 @@ def solve_distributed(
     result.solve_seconds = time.perf_counter() - t1
     if df64_active:
         result.x = jax.jit(merge_f64)(*result.x)
-    result.x = result.x[:n]
+    if multihost:
+        # x is a global (process-spanning) array; slice under jit and let
+        # XLA re-lay it out — host-side indexing of non-addressable shards
+        # would fail
+        result.x = jax.jit(lambda a: a[:n])(result.x)
+    else:
+        result.x = result.x[:n]
     return result
 
 

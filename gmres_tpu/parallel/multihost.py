@@ -1,0 +1,48 @@
+"""Multi-host entry points (SURVEY.md §5.8; new scope vs the single-device
+reference).
+
+A multi-host run is N identical processes, each owning some of the TPU
+chips, cooperating through one global mesh: ``initialize`` wires up the
+JAX distributed runtime, after which ``solve_distributed(...,
+multihost=True)`` runs the row-partitioned solver across all processes —
+shard uploads are per-host (``jax.make_array_from_callback``), the cycle's
+collectives (psum reductions, ppermute halo exchange) ride ICI within a
+slice and DCN across slices as emitted by XLA, and the host driver loop
+stays in lockstep because it only ever fetches replicated scalars.
+
+Off-TPU the same code path runs under simulated processes (CPU gloo
+collectives) — see tests/test_multihost.py.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> None:
+    """Wire up the JAX distributed runtime (idempotent).
+
+    On Cloud TPU pods the arguments are auto-detected from the environment
+    and every argument may be omitted; for manual launches pass the
+    coordinator's ``host:port``, the process count and this process's id
+    (``jax.distributed.initialize`` semantics).
+    """
+    # NOTE: must not touch the XLA backend before distributed init
+    # (jax.process_count() would initialize it); is_initialized is safe
+    if jax.distributed.is_initialized():
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)

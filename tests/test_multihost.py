@@ -1,0 +1,104 @@
+"""Multi-host path under 2 simulated CPU processes (VERDICT round-1 item 4).
+
+Each subprocess gets 2 virtual CPU devices (4 global), initializes the JAX
+distributed runtime over localhost, and runs the SAME
+``solve_distributed(..., multihost=True)`` call; the test asserts both
+converge with matching histories and a correct (globally assembled)
+solution.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_enable_x64", True)
+
+from gmres_tpu.parallel.multihost import initialize
+initialize(f"localhost:{port}", num_processes=2, process_id=proc_id)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+
+import numpy as np
+import jax.numpy as jnp
+from gmres_tpu import GmresConfig, PrecisionSpec
+from gmres_tpu.io.rng import rand_vect
+from gmres_tpu.io.synth import convection_diffusion_2d
+from gmres_tpu.ops.spmv import spmv
+from gmres_tpu.parallel.dist_gmres import solve_distributed
+
+A = convection_diffusion_2d(16, beta=1.0)
+x_true = rand_vect(A.n_rows, 42)
+b = np.asarray(spmv(A, jnp.asarray(x_true)))
+cfg = GmresConfig(
+    precision=PrecisionSpec.from_mode("mixed"),
+    orth="cgsr", precond="jacobi",
+    restart_length=12, tol=1e-9, max_restarts=60,
+)
+res = solve_distributed(A, b, cfg, multihost=True)
+assert res.converged, "did not converge"
+# assemble the global solution on every host for the error check
+x_full = np.asarray(jax.jit(
+    lambda a: a, out_shardings=jax.sharding.NamedSharding(
+        res.x.sharding.mesh, jax.sharding.PartitionSpec())
+)(res.x))
+err = float(np.linalg.norm(x_full[:A.n_rows] - x_true))
+print(f"RESULT {proc_id} converged={res.converged} restarts={res.restarts} "
+      f"iters={res.total_iters} err={err:.3e}", flush=True)
+assert err < 1e-5, err
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_solve(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.getcwd()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=os.getcwd(), text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    lines = [
+        line for out in outs for line in out.splitlines()
+        if line.startswith("RESULT")
+    ]
+    assert len(lines) == 2, outs
+    # both processes ran the same lockstep history
+    tail0 = lines[0].split(" ", 2)[2]
+    tail1 = lines[1].split(" ", 2)[2]
+    assert tail0 == tail1, (tail0, tail1)
