@@ -154,6 +154,13 @@ class GmresConfig:
     # diverges and records '-' rows — SURVEY.md §5.3; this is a documented
     # improvement, off by default for behavior parity).
     nan_fallback: bool = False
+    # bfloat16 inner loops floor around rel residual ~1e-6 (BASELINE.md):
+    # when progress stalls below the target tolerance, escalate the inner
+    # precision to float32 and continue from the current iterate (restart
+    # -in-higher-precision, SURVEY.md §5.3 design note).  On by default so
+    # bf16 is usable rather than a footgun; the escalation is recorded in
+    # GmresResult.escalated.
+    bf16_escalation: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "orth", Orth(self.orth))

@@ -465,6 +465,8 @@ class GmresResult:
     history: list | None = None   # per-cycle (rel_initial, prec_rel0, k)
     diverged: bool = False        # non-finite residual detected
     fellback_to_fp64: bool = False
+    stalled: bool = False         # stagnation detected (no progress window)
+    escalated: bool = False       # bf16 inner escalated to f32 mid-solve
 
 
 # Alignment for the padded problem on TPU: the fused Pallas orth kernels
@@ -792,8 +794,14 @@ def solve(
         )
 
     setup_seconds = time.perf_counter() - t0  # host-side pre-dispatch cost
+    # bf16 inner loops floor around rel ~1e-6; watch for stagnation so the
+    # solve can escalate to f32 instead of burning max_restarts
+    stall_window = (
+        6 if (in_dt == jnp.bfloat16 and cfg.bf16_escalation
+              and cfg.tol < 1e-5) else None
+    )
     result = drive_restarts(chunk_call, x_dev, cfg, record_history, progress,
-                            checkpoint=checkpoint)
+                            checkpoint=checkpoint, stall_window=stall_window)
     result.setup_seconds = setup_seconds
     if df64_active:
         result.x = merge_f64(*result.x)
@@ -801,6 +809,29 @@ def solve(
     result.solve_seconds = time.perf_counter() - t1
 
     from gmres_tpu.config import PrecisionSpec as _PS
+
+    if result.stalled and not result.converged and in_dt == jnp.bfloat16:
+        # restart-in-higher-precision escalation (SURVEY.md §5.3): continue
+        # from the current iterate with a float32 inner loop
+        esc_prec = _PS(outer=cfg.precision.outer, inner="float32",
+                       precond=cfg.precision.precond)
+        esc = solve(
+            A_fallback,
+            np.asarray(b)[:n_orig],
+            cfg.with_(precision=esc_prec),
+            x0=np.asarray(result.x)[:n_orig],
+            record_history=record_history, progress=progress,
+        )
+        esc.escalated = True
+        esc.total_iters += result.total_iters
+        esc.restarts += result.restarts
+        esc.prec_seconds += prec_seconds
+        esc.solve_seconds += result.solve_seconds
+        if record_history and result.history is not None:
+            esc.history = result.history + [dict(escalated=True)] + (
+                esc.history or []
+            )
+        result = esc
 
     if result.diverged and cfg.nan_fallback and cfg.precision != _PS.from_mode("baseline"):
         # Rescue from the ORIGINAL (unpadded) operator so the fp64
@@ -832,7 +863,7 @@ def solve(
 
 def drive_restarts(
     chunk_call, x, cfg: GmresConfig, record_history=False, progress=None,
-    checkpoint=None,
+    checkpoint=None, stall_window: int | None = None,
 ) -> GmresResult:
     """The host outer loop, implementing the reference's ``check_initial``
     bookkeeping (restart counting / abort / convergence — IterUtil.hpp:42-51
@@ -861,10 +892,13 @@ def drive_restarts(
     converged = False
     aborted = False
     diverged = False
+    stalled = False
     rel_prec_res = float("nan")
     final_k = 0
     i = resume_i
     stop = False
+    best_rel = float("inf")
+    best_i = 0
     while not stop:
         if i + 1 > cfg.max_restarts:
             # check_initial counts the restart before testing (IterUtil.hpp:42-45)
@@ -901,6 +935,15 @@ def drive_restarts(
                 break
             k = int(ks[j])
             total_iters += k
+            rel_j = float(rels[j])
+            if rel_j < 0.9 * best_rel:
+                best_rel = rel_j
+                best_i = i
+            elif stall_window is not None and i - best_i >= stall_window:
+                # no meaningful progress for a full window: stop so the
+                # caller can escalate the inner precision (SURVEY.md §5.3)
+                stalled = True
+                stop = True
             if record_history:
                 history.append(
                     dict(i=i, k=k, rel_initial=float(rels[j]),
@@ -910,6 +953,8 @@ def drive_restarts(
             if progress is not None:
                 progress(i, k, float(rels[j]))
             i += 1
+            if stop:
+                break
         if (
             checkpoint is not None
             and not stop
@@ -930,4 +975,5 @@ def drive_restarts(
         rel_prec_res=rel_prec_res,
         history=history,
         diverged=diverged,
+        stalled=stalled,
     )

@@ -103,6 +103,9 @@ def main():
     ap.add_argument("--cluster", type=int, default=1)
     ap.add_argument("--mesh", action="store_true",
                     help="jittered-stencil mesh matrix instead of random")
+    ap.add_argument("--run", type=int, default=3,
+                    help="mesh coupling-run width (3 -> ~10 nnz/row like "
+                         "2D FEM, 8 -> ~25 like 3D FEM/cage)")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--skip-xla", action="store_true")
     ap.add_argument("--dense-min", type=float, default=0.012,
@@ -117,7 +120,8 @@ def main():
 
     t0 = time.perf_counter()
     if args.mesh:
-        A = build_mesh_matrix(args.n, jitter=args.spread // 32 or 8)
+        A = build_mesh_matrix(args.n, jitter=args.spread // 32 or 8,
+                              run=args.run)
     else:
         A = build_matrix(args.n, args.avg, args.spread, cluster=args.cluster)
     print(f"matrix: n={A.n_rows:,} nnz={A.nnz:,} built {time.perf_counter()-t0:.1f}s",

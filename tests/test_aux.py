@@ -1,6 +1,8 @@
 """Auxiliary subsystem tests: RCM reordering, NaN fallback,
 checkpoint/resume, profiling utilities (SURVEY.md §5)."""
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,3 +146,43 @@ def test_profiling_utils():
 
     m = solve_metrics(R(), nnz=1000)
     assert m["spmv_nnz_per_s"] == 100 * 1000 / 2.0
+
+
+def test_bf16_escalation_converges_tight_tol():
+    """bf16 inner loops floor on ill-conditioned operators (BASELINE.md);
+    the automatic restart-in-higher-precision escalation must detect the
+    stall and converge via a float32 continuation (VERDICT round-1 item
+    10).  Setup (measured): f32 inner converges in 29 restarts, raw bf16
+    burns max_restarts without converging, bf16+escalation converges."""
+    from gmres_tpu.io.synth import convection_diffusion_2d
+    from gmres_tpu.io.rng import rand_vect
+    from gmres_tpu.ops.spmv import spmv
+
+    A0 = convection_diffusion_2d(16, beta=1.0)
+    n = A0.n_rows
+    rng = np.random.default_rng(3)
+    scale = 10.0 ** rng.uniform(0, 2.0, size=n)
+    rp = np.asarray(A0.row_ptr)
+    ci = np.asarray(A0.col_idx)[: A0.nnz]
+    v = np.asarray(A0.vals)[: A0.nnz]
+    rows = np.repeat(np.arange(n), np.diff(rp))
+    A = csr_from_coo(rows, ci, v * scale[rows] * scale[ci], n_rows=n)
+    x_true = rand_vect(n, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+
+    cfg = GmresConfig(
+        precision=PrecisionSpec("float64", "bfloat16", "float32"),
+        orth="cgsr", precond="identity",
+        restart_length=60, tol=1e-8, max_restarts=120,
+    )
+    res = solve(A, b, cfg, record_history=True)
+    assert res.converged
+    assert res.escalated, "expected the bf16 stall to trigger escalation"
+    assert any(h.get("escalated") for h in res.history)
+    # converged well before the raw-bf16 exhaustion (measured 39 vs 120)
+    assert res.restarts < 80
+
+    # opting out preserves the raw bf16 behavior (no silent escalation)
+    res_off = solve(A, b, dataclasses.replace(cfg, bf16_escalation=False))
+    assert not res_off.escalated
+    assert not res_off.converged
