@@ -88,9 +88,23 @@ def main(argv=None) -> int:
 
     dia64 = from_csr(A64)
     formats = [("csr", A64)] + ([("dia", dia64)] if dia64 is not None else [])
+    if dia64 is None:
+        # unstructured fast path (VERDICT round-1 item 1): SELL via the
+        # windowed-compare / dense-block Pallas kernels, f32 only
+        from gmres_tpu.ops.sell import sell_from_csr
+
+        t0 = time.perf_counter()
+        sell = sell_from_csr(A64)
+        if sell is not None:
+            print(f"SELL pack: W={sell.W} K={sell.K} chunks={sell.n_chunks} "
+                  f"dense={sell.n_dense_chunks} "
+                  f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+            formats.append(("sell", sell))
     for fmt_name, A0 in formats:
         for dt_name, dt in (("f64", jnp.float64), ("f32", jnp.float32),
                             ("bf16", jnp.bfloat16)):
+            if fmt_name == "sell" and dt != jnp.float32:
+                continue
             A = jax.device_put(A0.astype(dt))
             xd = x.astype(dt)
             # A is closed over (a jit constant), NOT a loop carry — carried

@@ -74,6 +74,10 @@ def make_synth(spec: str):
         return synth.poisson_3d(n)
     if kind == "convdiff":
         return synth.convection_diffusion_2d(n)
+    if kind == "mesh":
+        return synth.unstructured_mesh(n)
+    if kind == "mesh3d":  # 3D-FEM/cage-class row density
+        return synth.unstructured_mesh(n, run=8)
     raise SystemExit(f"unknown synthetic matrix {spec!r}")
 
 

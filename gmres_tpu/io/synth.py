@@ -138,3 +138,34 @@ def random_sparse(
         np.concatenate([vals, d_vals]).astype(dtype),
         n_rows=n,
     )
+
+
+def unstructured_mesh(
+    n: int, nx: int | None = None, jitter: int = 16, run: int = 3,
+    seed: int = 0, dtype=np.float64,
+) -> CSRMatrix:
+    """Jittered-stencil 'unstructured mesh': row i couples to runs of
+    ``run`` consecutive columns at i-1 and at i +- (nx + j(i)) with
+    per-row random jitter — the shape of an RCM-ordered FEM/mesh matrix:
+    smooth per-row offsets (window-coherent slabs) but thousands of
+    distinct diagonals, so ``dia.from_csr`` refuses and the SELL format
+    (``ops/sell.py``) is exercised.  ``run=3`` gives ~10 nnz/row (2D-FEM
+    density), ``run=8`` ~25 (3D FEM / cage-class)."""
+    from gmres_tpu.sparse import csr_from_coo
+
+    if nx is None:
+        nx = max(4, int(round(n ** 0.5)))
+    rng = np.random.default_rng(seed)
+    i = np.arange(n, dtype=np.int64)
+    j_up = rng.integers(-jitter, jitter + 1, size=n)
+    j_dn = rng.integers(-jitter, jitter + 1, size=n)
+    base = [i - 1 + k for k in range(run)]
+    up = [i - nx + j_up + k for k in range(run)]
+    dn = [i + nx + j_dn + k for k in range(run)]
+    cols = np.clip(np.concatenate(base + up + dn), 0, n - 1)
+    rows = np.tile(i, 3 * run)
+    vals = rng.standard_normal(rows.shape[0])
+    rows = np.concatenate([rows, i])
+    cols = np.concatenate([cols, i])
+    vals = np.concatenate([vals, np.full(n, 3.0 * run + 1.0)])
+    return csr_from_coo(rows, cols, vals.astype(dtype), n_rows=n)
