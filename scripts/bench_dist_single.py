@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""VERDICT item 3 'done' criterion: a 1-device-mesh shard_map solve within
+15% of the non-sharded solve's wall time (the sharded cycle must keep the
+Pallas DIA SpMV, fused orth, and df64 outer fast paths).
+"""
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def timed(fn, reps=3):
+    fn()  # warm/compile
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn()
+        _ = float(np.asarray(r.x[:4]).sum())  # fetch barrier
+        walls.append(time.perf_counter() - t0)
+    walls.sort()
+    return r, walls[len(walls) // 2]
+
+
+def main():
+    from jax.sharding import Mesh
+
+    from gmres_tpu import GmresConfig, PrecisionSpec, solve
+    from gmres_tpu.io.rng import rand_vect
+    from gmres_tpu.io.synth import convection_diffusion_2d
+    from gmres_tpu.ops.spmv import spmv
+    from gmres_tpu.parallel.dist_gmres import AXIS, solve_distributed
+
+    nx = 1024
+    A = convection_diffusion_2d(nx, beta=2.0)
+    n = A.n_rows
+    x_true = rand_vect(n, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("mixed"), orth="cgsr",
+        precond="identity", restart_length=30, tol=1e-8, max_restarts=80,
+    )
+
+    res1, t1 = timed(lambda: solve(A, b, cfg))
+    print(f"single-device solve:   {t1:.3f}s restarts={res1.restarts} "
+          f"iters={res1.total_iters} conv={res1.converged}", flush=True)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), (AXIS,))
+    resd, td = timed(lambda: solve_distributed(A, b, cfg, mesh=mesh))
+    print(f"1-device-mesh solve:   {td:.3f}s restarts={resd.restarts} "
+          f"iters={resd.total_iters} conv={resd.converged}", flush=True)
+    print(f"ratio: {td/t1:.3f}x (target <= 1.15x)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
