@@ -120,7 +120,9 @@ def main(argv=None) -> int:
             print(f"SELL pack: W={sell.W} K={sell.K} chunks={sell.n_chunks} "
                   f"dense={sell.n_dense_chunks} "
                   f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
-            formats.append(("sell", sell))
+            # SELL first: at >10M nnz the XLA CSR gather chain can fault
+            # the TPU worker; capture the fast-path number before risking it
+            formats.insert(0, ("sell", sell))
     for fmt_name, A0 in formats:
         for dt_name, dt in (("f64", jnp.float64), ("f32", jnp.float32),
                             ("bf16", jnp.bfloat16)):
@@ -135,7 +137,12 @@ def main(argv=None) -> int:
             # chained values from overflowing (rho(A)^reps) and fuses into
             # the SpMV epilogue.
             run = device_loop_op(lambda a, v: spmv(a, v) * dt(0.125), reps)
-            t = time_op(run, (A, xd), reps)
+            try:
+                t = time_op(run, (A, xd), reps)
+            except Exception as e:  # TPU worker faults on some XLA paths
+                print(f"spmv {fmt_name} {dt_name}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})", file=sys.stderr)
+                continue
             itemsize = jnp.dtype(dt).itemsize
             bytes_per = nnz * (itemsize + 4) + n * 2 * itemsize  # vals+cols+x+y
             results[f"spmv_{fmt_name}_{dt_name}"] = dict(
