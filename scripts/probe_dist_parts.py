@@ -80,10 +80,40 @@ def main():
                                         assume_zero_tail=True)
         return w2 / (hn + 1)
 
-    fno = _shard_map(orth_local, mesh, in_specs=(P((None, AXIS)), P(AXIS)),
+    fno = _shard_map(orth_local, mesh, in_specs=(P(None, AXIS), P(AXIS)),
                      out_specs=P(AXIS))
     t = chain(lambda w: fno(V, w), xs)
     print(f"shard_map cgsr step:   {t*1e3:.3f} ms", flush=True)
+
+    # full distributed restart cycle vs the plain one
+    from gmres_tpu import GmresConfig, PrecisionSpec
+    from gmres_tpu.io.rng import rand_vect
+    from gmres_tpu.ops.spmv import spmv as _spmv
+    from gmres_tpu.parallel.dist_gmres import make_distributed_cycle
+    from gmres_tpu.parallel.dist_gmres import solve_distributed
+    from gmres_tpu import solve as _solve
+
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("mixed"), orth="cgsr",
+        precond="identity", restart_length=30, tol=1e-8, max_restarts=3,
+        host_sync_every=1,
+    )
+    x_true = rand_vect(n, 42)
+    b = np.asarray(_spmv(A, jnp.asarray(x_true)))
+    r = solve_distributed(A, b, cfg, mesh=mesh)  # compile
+    t0 = time.perf_counter()
+    r = solve_distributed(A, b, cfg, mesh=mesh)
+    _ = float(np.asarray(r.x[:2]).sum())
+    td = time.perf_counter() - t0
+    print(f"dist 3-restart warm:   {td:.3f} s ({td/max(r.total_iters,1)*1e3:.2f} ms/iter)",
+          flush=True)
+    r2 = _solve(A, b, cfg)
+    t0 = time.perf_counter()
+    r2 = _solve(A, b, cfg)
+    _ = float(np.asarray(r2.x[:2]).sum())
+    ts = time.perf_counter() - t0
+    print(f"plain 3-restart warm:  {ts:.3f} s ({ts/max(r2.total_iters,1)*1e3:.2f} ms/iter)",
+          flush=True)
 
 
 if __name__ == "__main__":
