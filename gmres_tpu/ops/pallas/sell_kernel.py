@@ -222,3 +222,222 @@ def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,
             ))
         y = y + cover(douts)
     return y.reshape(-1)[: A.n_rows]
+
+
+# ---------------------------------------------------------------------------
+# Double-float (two-fp32) SELL SpMV — the unstructured analog of the DIA
+# df64 kernel (ops/pallas/df64_kernel.py): the mixed scheme's fp64 outer
+# residual on SELL-routed matrices would otherwise run XLA's f64 gather
+# (measured 1.16 s for ONE SpMV at 4.7M nnz — 40x the df64 kernel).
+# Values ride as (hi, lo) f32 pairs (packed + packed_lo / dense_data +
+# dense_lo sidecars); products use Dekker two_prod and the W-dimension
+# contraction is a compensated two_sum tree over sublanes (no MXU — it
+# cannot carry the error terms).
+# ---------------------------------------------------------------------------
+
+from gmres_tpu.ops.pallas.df64_kernel import (  # noqa: E402
+    _df_add,
+    _two_prod,
+)
+
+
+def _df_reduce_sublanes(ph, pl):
+    """Compensated reduction of a (W, C) df64 pair over axis 0 -> (1, C)."""
+    W = ph.shape[0]
+    while W > 1:
+        half = W // 2
+        ph, pl = _df_add(ph[:half], pl[:half], ph[half:], pl[half:])
+        W = half
+    return ph, pl
+
+
+def _sell_df64_kernel(bucket_ref, slab_ref, packed_ref, lo_ref, xh_ref,
+                      xl_ref, yh_ref, yl_ref, *, W: int, K: int):
+    g = pl.program_id(0)
+    slab_g = slab_ref[g]
+    blk = slab_g // SLABS_PER_BLOCK
+    prev_blk = slab_ref[jnp.maximum(g - 1, 0)] // SLABS_PER_BLOCK
+    is_first = jnp.logical_or(g == 0, blk != prev_blk)
+
+    @pl.when(is_first)
+    def _():
+        yh_ref[...] = jnp.zeros_like(yh_ref)
+        yl_ref[...] = jnp.zeros_like(yl_ref)
+
+    buf = packed_ref[0]        # (2K, C): [vals_hi ; bitcast cols]
+    vh = buf[:K]
+    cols = jax.lax.bitcast_convert_type(buf[K:], jnp.int32)
+    vl = lo_ref[0]             # (K, C)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    dh = jnp.zeros((W, C), jnp.float32)
+    dl = jnp.zeros((W, C), jnp.float32)
+    for k in range(K):
+        mask = iota == cols[k:k + 1, :]
+        dh = dh + jnp.where(mask, vh[k:k + 1, :], 0.0)
+        dl = dl + jnp.where(mask, vl[k:k + 1, :], 0.0)
+
+    # operand window, sublane-oriented (one relayout per chunk)
+    xh = xh_ref[0].reshape(W, 1)
+    xl = xl_ref[0].reshape(W, 1)
+    ph, pe = _two_prod(xh, dh)
+    pe = pe + (xh * dl + xl * dh)
+    sh, sl = _df_reduce_sublanes(ph, pe)  # (1, C)
+
+    row = slab_g - blk * SLABS_PER_BLOCK
+    ah = yh_ref[pl.ds(row, 1), :]
+    al = yl_ref[pl.ds(row, 1), :]
+    nh, nl = _df_add(ah, al, sh, sl)
+    yh_ref[pl.ds(row, 1), :] = nh
+    yl_ref[pl.ds(row, 1), :] = nl
+
+
+def _sell_df64_dense_kernel(bucket_ref, slab_ref, vidx_ref, bh_ref, bl_ref,
+                            xh_ref, xl_ref, yh_ref, yl_ref, *, W: int):
+    g = pl.program_id(0)
+    slab_g = slab_ref[g]
+    blk = slab_g // SLABS_PER_BLOCK
+    prev_blk = slab_ref[jnp.maximum(g - 1, 0)] // SLABS_PER_BLOCK
+    is_first = jnp.logical_or(g == 0, blk != prev_blk)
+
+    @pl.when(is_first)
+    def _():
+        yh_ref[...] = jnp.zeros_like(yh_ref)
+        yl_ref[...] = jnp.zeros_like(yl_ref)
+
+    dh = bh_ref[0]             # (W, C)
+    dl = bl_ref[0]
+    xh = xh_ref[0].reshape(W, 1)
+    xl = xl_ref[0].reshape(W, 1)
+    ph, pe = _two_prod(xh, dh)
+    pe = pe + (xh * dl + xl * dh)
+    sh, sl = _df_reduce_sublanes(ph, pe)
+
+    row = slab_g - blk * SLABS_PER_BLOCK
+    ah = yh_ref[pl.ds(row, 1), :]
+    al = yl_ref[pl.ds(row, 1), :]
+    nh, nl = _df_add(ah, al, sh, sl)
+    yh_ref[pl.ds(row, 1), :] = nh
+    yl_ref[pl.ds(row, 1), :] = nl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "K", "n_chunks", "n_slabs", "first_block",
+                     "interpret"),
+)
+def _sell_df64_call(bucket, slab, packed, packed_lo, xh, xl, *, W, K,
+                    n_chunks, n_slabs, first_block, interpret=False):
+    kernel = functools.partial(_sell_df64_kernel, W=W, K=K)
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, 2 * K, C), lambda g, bk, sl: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, C), lambda g, bk, sl: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, W), lambda g, bk, sl: (bk[g], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, W), lambda g, bk, sl: (bk[g], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (SLABS_PER_BLOCK, C),
+                    lambda g, bk, sl: (sl[g] // SLABS_PER_BLOCK - first_block, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ) * 2,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((n_slabs, C), jnp.float32),) * 2,
+            interpret=interpret,
+        )(bucket, slab, packed, packed_lo, xh, xl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "n_chunks", "n_slabs", "first_block", "interpret"),
+)
+def _sell_df64_dense_call(bucket, slab, vidx, blocks_hi, blocks_lo, xh, xl,
+                          *, W, n_chunks, n_slabs, first_block,
+                          interpret=False):
+    kernel = functools.partial(_sell_df64_dense_kernel, W=W)
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((1, W, C), lambda g, bk, sl, vi: (vi[g], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, W, C), lambda g, bk, sl, vi: (vi[g], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, W), lambda g, bk, sl, vi: (bk[g], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, W), lambda g, bk, sl, vi: (bk[g], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (SLABS_PER_BLOCK, C),
+                    lambda g, bk, sl, vi: (sl[g] // SLABS_PER_BLOCK - first_block, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ) * 2,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((n_slabs, C), jnp.float32),) * 2,
+            interpret=interpret,
+        )(bucket, slab, vidx, blocks_hi, blocks_lo, xh, xl)
+
+
+def sell_spmv_df64(A: SELLMatrix, xh: jax.Array, xl: jax.Array,
+                   interpret: bool = False):
+    """(y_hi, y_lo) = A @ x in double-float for a df64-packed SELLMatrix
+    (``sell_from_csr(..., df64=True)``).  ~2^-48 relative accuracy — the
+    mixed scheme's fp64 outer residual for unstructured operators."""
+    if not A.packed_lo:
+        raise TypeError("SELLMatrix was not packed with df64=True")
+    xh = _pad_x(A, xh.astype(jnp.float32)).reshape(A.n_buckets, 1, A.W)
+    xl = _pad_x(A, xl.astype(jnp.float32)).reshape(A.n_buckets, 1, A.W)
+    n_slabs_total = A.n_rows_pad // C
+
+    def cover(outs):
+        yh = jnp.concatenate([o[0] for o in outs], axis=0) if len(outs) > 1 else outs[0][0]
+        yl = jnp.concatenate([o[1] for o in outs], axis=0) if len(outs) > 1 else outs[0][1]
+        if yh.shape[0] < n_slabs_total:
+            pad = ((0, n_slabs_total - yh.shape[0]), (0, 0))
+            yh, yl = jnp.pad(yh, pad), jnp.pad(yl, pad)
+        return yh, yl
+
+    outs = []
+    for p, (n_chunks, first_block, n_blocks) in enumerate(A.parts):
+        outs.append(_sell_df64_call(
+            A.bucket[p], A.slab[p], A.packed[p], A.packed_lo[p], xh, xl,
+            W=A.W, K=A.K, n_chunks=n_chunks,
+            n_slabs=n_blocks * SLABS_PER_BLOCK,
+            first_block=first_block, interpret=interpret,
+        ))
+    yh, yl = cover(outs)
+    if A.n_dense_chunks:
+        bh = A.dense_data[0].astype(jnp.float32)
+        bl = A.dense_lo[0]
+        douts = []
+        for p, (n_chunks, first_block, n_blocks) in enumerate(A.dense_parts):
+            douts.append(_sell_df64_dense_call(
+                A.dense_bucket[p], A.dense_slab[p], A.dense_vidx[p],
+                bh, bl, xh, xl,
+                W=A.W, n_chunks=n_chunks,
+                n_slabs=n_blocks * SLABS_PER_BLOCK,
+                first_block=first_block, interpret=interpret,
+            ))
+        dh, dl = cover(douts)
+        from gmres_tpu.ops.pallas.df64_kernel import _df_add as dfa
+
+        yh, yl = dfa(yh, yl, dh, dl)
+    return (yh.reshape(-1)[: A.n_rows], yl.reshape(-1)[: A.n_rows])

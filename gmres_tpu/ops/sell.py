@@ -68,8 +68,9 @@ G_BATCH = 4
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("data", "cols", "packed", "bucket", "slab", "dense_data",
-                 "dense_bucket", "dense_slab", "dense_vidx"),
+    data_fields=("data", "cols", "packed", "packed_lo", "bucket", "slab",
+                 "dense_data", "dense_lo", "dense_bucket", "dense_slab",
+                 "dense_vidx"),
     meta_fields=("n_rows", "n_cols", "nnz", "W", "K", "parts",
                  "dense_parts", "n_rows_pad", "n_buckets"),
 )
@@ -96,6 +97,9 @@ class SELLMatrix:
     # bound; probed in scripts/probe_sell_cost.py), and 2K is a multiple
     # of the 8-sublane tile so nothing pads
     packed: tuple  # tuple of (n_chunks_p, 2K, C) f32 arrays
+    # double-float sidecar (empty unless packed with df64=True): the low
+    # f32 halves of the fp64 values, for the df64 outer-residual kernels
+    packed_lo: tuple   # tuple of (n_chunks_p, K, C) f32 arrays, or ()
     bucket: tuple  # tuple of (n_chunks_p,) int32 arrays — x window index
     slab: tuple    # tuple of (n_chunks_p,) int32 arrays, non-decreasing
     # hybrid dense side: (slab, bucket) pairs above the fill threshold are
@@ -104,6 +108,7 @@ class SELLMatrix:
     # threshold).  dense_vidx steers the value-block index map so dummy
     # coverage chunks share the all-zero block 0.
     dense_data: tuple    # tuple of (n_dense_blocks, W, C) arrays (idx 0 = zeros)
+    dense_lo: tuple      # df64 sidecar dense blocks, or ()
     dense_bucket: tuple  # tuple of (n_dense_p,) int32
     dense_slab: tuple    # tuple of (n_dense_p,) int32, non-decreasing
     dense_vidx: tuple    # tuple of (n_dense_p,) int32 into dense_data
@@ -204,6 +209,7 @@ def sell_from_csr(
     dtype=None,
     dense_fill_min: float = 0.012,
     max_dense_bytes: int = 4 << 30,
+    df64: bool = False,
 ) -> SELLMatrix | None:
     """Pack CSR into SELL, auto-tuning (W, K); None when unprofitable.
 
@@ -278,6 +284,12 @@ def sell_from_csr(
         didx = pair_rank[sb_inv[dn]] + 1           # 0 is the shared zero block
         flat_d = (didx * W + col_rel[dn].astype(np.int64)) * C + row_local[dn]
         np.add.at(dense_blocks.reshape(-1), flat_d, v[dn])
+    dense_lo_blocks = None
+    if df64:
+        dh = dense_blocks.astype(np.float32)
+        dense_lo_blocks = (
+            dense_blocks.astype(np.float64) - dh.astype(np.float64)
+        ).astype(np.float32)
     dense_vidx_arr = np.arange(1, n_dense_real + 1, dtype=np.int64)
     # coverage dummies (share the zero block via vidx 0)
     covered_d = np.zeros(n_blocks, dtype=bool)
@@ -347,15 +359,22 @@ def sell_from_csr(
     vals_arr.reshape(-1)[flat] = v_e
     cols_arr.reshape(-1)[flat] = col_rel_e
 
-    merged = np.concatenate(
-        [vals_arr.astype(np.float32), cols_arr.view(np.float32)], axis=1
+    vals32 = vals_arr.astype(np.float32)
+    merged = np.concatenate([vals32, cols_arr.view(np.float32)], axis=1)
+    merged_lo = (
+        (vals_arr.astype(np.float64) - vals32.astype(np.float64))
+        .astype(np.float32)
+        if df64 else None
     )
     splits = _plan_parts(chunk_slab // SLABS_PER_BLOCK, n_blocks)
-    data_p, cols_p, packed_p, bucket_p, slab_p, parts = [], [], [], [], [], []
+    data_p, cols_p, packed_p, plo_p, bucket_p, slab_p, parts = (
+        [], [], [], [], [], [], [])
     for (lo, hi, blk_lo, blk_hi) in splits:
         data_p.append(vals_arr[lo:hi])
         cols_p.append(cols_arr[lo:hi])
         packed_p.append(jnp.asarray(merged[lo:hi]))
+        if df64:
+            plo_p.append(jnp.asarray(merged_lo[lo:hi]))
         bucket_p.append(jnp.asarray(chunk_bucket[lo:hi]))
         slab_p.append(jnp.asarray(chunk_slab[lo:hi].astype(np.int32)))
         parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
@@ -373,9 +392,11 @@ def sell_from_csr(
         data=tuple(jnp.asarray(d) for d in data_p),
         cols=tuple(jnp.asarray(c) for c in cols_p),
         packed=tuple(packed_p),
+        packed_lo=tuple(plo_p),
         bucket=tuple(bucket_p),
         slab=tuple(slab_p),
         dense_data=(jnp.asarray(dense_blocks),),
+        dense_lo=((jnp.asarray(dense_lo_blocks),) if df64 else ()),
         dense_bucket=tuple(dbucket_p),
         dense_slab=tuple(dslab_p),
         dense_vidx=tuple(dvidx_p),
@@ -432,3 +453,38 @@ def sell_spmv(A: SELLMatrix, x: jax.Array, use_pallas: bool = True) -> jax.Array
 
         return sell_spmv_pallas(A, x)
     return sell_spmv_xla(A, x)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("sell",),
+    meta_fields=(),
+)
+@dataclasses.dataclass(frozen=True)
+class DF64Sell:
+    """Marker wrapper: a df64-packed SELLMatrix serving as the mixed
+    scheme's fp64 *outer* operator (the solver's df64 branch keys on the
+    ``data_hi`` attribute; see solver/gmres.py:restart_cycle_impl)."""
+
+    sell: SELLMatrix
+
+    @property
+    def data_hi(self):  # duck-type marker for the df64 cycle branch
+        return self.sell.packed
+
+    @property
+    def vals(self) -> jax.Array:
+        """Frobenius-compatible fp64 values view (hi + lo exact)."""
+        return self.sell.vals
+
+    @property
+    def n_rows(self):
+        return self.sell.n_rows
+
+    @property
+    def n_cols(self):
+        return self.sell.n_cols
+
+    @property
+    def nnz(self):
+        return self.sell.nnz

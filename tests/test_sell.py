@@ -191,3 +191,64 @@ def test_hybrid_dense_chunks():
                                         jnp.asarray(x, jnp.float32),
                                         interpret=True))
     np.testing.assert_allclose(got_k, want, rtol=1e-4, atol=1e-4)
+
+
+def test_df64_sell_spmv_accuracy():
+    """Double-float SELL SpMV (interpret mode) reaches ~2^-45 relative
+    accuracy vs the exact fp64 product — the mixed scheme's fp64 outer
+    residual for unstructured operators."""
+    from gmres_tpu.ops.pallas.sell_kernel import sell_spmv_df64
+
+    A = _random_local_csr(n=1500, spread=700, seed=13)
+    # make values need more than f32 precision
+    rng = np.random.default_rng(14)
+    vals = np.asarray(A.vals)[: A.nnz] * (1.0 + 1e-9 * rng.standard_normal(A.nnz))
+    import gmres_tpu.sparse as sparse_mod
+
+    A = sparse_mod.csr_from_arrays(
+        np.asarray(A.row_ptr), np.asarray(A.col_idx)[: A.nnz], vals,
+        n_cols=A.n_cols,
+    )
+    S = sell_from_csr(A, df64=True)
+    assert S is not None and S.packed_lo
+
+    x = rng.standard_normal(A.n_rows)
+    xh = x.astype(np.float32)
+    xl = (x - xh.astype(np.float64)).astype(np.float32)
+    yh, yl = sell_spmv_df64(S, jnp.asarray(xh), jnp.asarray(xl),
+                            interpret=True)
+    got = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    want = A.to_scipy() @ x
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 1e-11, rel
+
+
+def test_df64_sell_dense_chunks_accuracy():
+    """df64 path through the dense-block kernel as well."""
+    from gmres_tpu.ops.pallas.sell_kernel import sell_spmv_df64
+
+    n = 1500
+    rng = np.random.default_rng(15)
+    rows, cols = [], []
+    for i in range(256):
+        c = np.unique(rng.integers(0, 128, size=50))
+        rows.extend([i] * len(c))
+        cols.extend(c.tolist())
+    for i in range(n):
+        c = np.unique(np.clip(i + rng.integers(-60, 60, size=3), 0, n - 1))
+        rows.extend([i] * len(c))
+        cols.extend(c.tolist())
+    vals = rng.standard_normal(len(rows)) * (1 + 1e-9)
+    A = csr_from_coo(np.asarray(rows), np.asarray(cols), vals, n_rows=n)
+    S = sell_from_csr(A, W=128, K=4, df64=True)
+    assert S is not None and S.n_dense_chunks > 0 and S.dense_lo
+
+    x = rng.standard_normal(n)
+    xh = x.astype(np.float32)
+    xl = (x - xh.astype(np.float64)).astype(np.float32)
+    yh, yl = sell_spmv_df64(S, jnp.asarray(xh), jnp.asarray(xl),
+                            interpret=True)
+    got = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    want = A.to_scipy() @ x
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 1e-11, rel
