@@ -21,6 +21,7 @@ A Pallas kernel for the hot path lives in ``ops/pallas/spmv_kernel.py``.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from gmres_tpu.sparse import CSRMatrix
 
@@ -53,6 +54,14 @@ def spmv(
         from gmres_tpu.parallel.halo import halo_spmv
 
         return halo_spmv(A, x, axis_name, use_pallas)
+
+    if hasattr(A, "sell"):  # DF64Sell: double-float SELL (unstructured)
+        from gmres_tpu.ops.pallas.df64_kernel import merge_f64, split_f64
+        from gmres_tpu.ops.pallas.sell_kernel import sell_spmv_df64
+
+        xg = x if x_is_global else gather_operand(x, axis_name)
+        yh, yl = sell_spmv_df64(A.sell, *split_f64(xg.astype(jnp.float64)))
+        return merge_f64(yh, yl)
 
     if hasattr(A, "data_hi"):  # DF64Dia: double-float emulated-fp64 kernel
         from gmres_tpu.ops.pallas.df64_kernel import dia_spmv_df64
