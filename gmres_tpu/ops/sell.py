@@ -278,18 +278,24 @@ def sell_from_csr(
     dense_bucket_arr = (dense_pairs % n_buckets).astype(np.int32)
     pair_rank = np.full(sb_uniq.shape[0], -1, dtype=np.int64)
     pair_rank[pair_dense] = np.arange(n_dense_real)
-    dense_blocks = np.zeros((n_dense_real + 1, W, C), dtype=out_dtype)
+    # Dense blocks are stored f32 (the kernels' native dtype): the values
+    # are pre-split per NONZERO into (hi, lo) f32 halves and scattered
+    # separately — allocating/converting (n_dense, W, C) float64 arrays
+    # cost ~60 s of astype at 25M nnz (profiled round 2).  Duplicate
+    # entries sum per half; hi+lo still equals the true fp64 sum to
+    # ~2^-48.
+    dense_blocks = np.zeros((n_dense_real + 1, W, C), dtype=np.float32)
+    dense_lo_blocks = np.zeros_like(dense_blocks) if df64 else None
     if n_dense_real:
         dn = is_dense_nnz
         didx = pair_rank[sb_inv[dn]] + 1           # 0 is the shared zero block
         flat_d = (didx * W + col_rel[dn].astype(np.int64)) * C + row_local[dn]
-        np.add.at(dense_blocks.reshape(-1), flat_d, v[dn])
-    dense_lo_blocks = None
-    if df64:
-        dh = dense_blocks.astype(np.float32)
-        dense_lo_blocks = (
-            dense_blocks.astype(np.float64) - dh.astype(np.float64)
-        ).astype(np.float32)
+        v_d = v[dn]
+        v_hi = v_d.astype(np.float32)
+        np.add.at(dense_blocks.reshape(-1), flat_d, v_hi)
+        if df64:
+            v_lo = (v_d - v_hi.astype(np.float64)).astype(np.float32)
+            np.add.at(dense_lo_blocks.reshape(-1), flat_d, v_lo)
     dense_vidx_arr = np.arange(1, n_dense_real + 1, dtype=np.int64)
     # coverage dummies (share the zero block via vidx 0)
     covered_d = np.zeros(n_blocks, dtype=bool)
@@ -361,11 +367,13 @@ def sell_from_csr(
 
     vals32 = vals_arr.astype(np.float32)
     merged = np.concatenate([vals32, cols_arr.view(np.float32)], axis=1)
-    merged_lo = (
-        (vals_arr.astype(np.float64) - vals32.astype(np.float64))
-        .astype(np.float32)
-        if df64 else None
-    )
+    merged_lo = None
+    if df64:
+        merged_lo = np.zeros((n_chunks, K, C), dtype=np.float32)
+        v_hi_e = v_e.astype(np.float32)
+        merged_lo.reshape(-1)[flat] = (
+            v_e - v_hi_e.astype(np.float64)
+        ).astype(np.float32)
     splits = _plan_parts(chunk_slab // SLABS_PER_BLOCK, n_blocks)
     data_p, cols_p, packed_p, plo_p, bucket_p, slab_p, parts = (
         [], [], [], [], [], [], [])
@@ -432,10 +440,13 @@ def sell_spmv_xla(A: SELLMatrix, x: jax.Array) -> jax.Array:
         contrib = prod.sum(axis=1)               # (n_chunks_p, C)
         y = y.at[A.slab[p]].add(contrib)
     xp2 = xp.reshape(A.n_buckets, A.W)
-    blocks = A.dense_data[0]
+    blocks = A.dense_data[0].astype(A.dtype)
+    lo = A.dense_lo[0].astype(A.dtype) if A.dense_lo else None
     for p in range(len(A.dense_parts)):
         win = xp2[A.dense_bucket[p]]             # (n_dense_p, W)
         blk = blocks[A.dense_vidx[p]]            # (n_dense_p, W, C)
+        if lo is not None:
+            blk = blk + lo[A.dense_vidx[p]]
         contrib = jnp.einsum("pw,pwc->pc", win, blk,
                              precision=jax.lax.Precision.HIGHEST)
         y = y.at[A.dense_slab[p]].add(contrib)

@@ -44,7 +44,8 @@ def test_pack_roundtrip_dense():
     assert S is not None
     x = rng.standard_normal(70)
     y = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
-    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-8)
+    # dense blocks are stored as f32 (the kernels' native dtype)
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
 
 
 def test_pack_matches_csr_spmv():
@@ -183,7 +184,8 @@ def test_hybrid_dense_chunks():
     x = rng.standard_normal(n)
     want = A.to_scipy() @ x
     got_xla = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
-    np.testing.assert_allclose(got_xla, want, rtol=1e-9, atol=1e-9)
+    # dense blocks are f32-native; ELL values keep the build dtype
+    np.testing.assert_allclose(got_xla, want, rtol=2e-6, atol=2e-6)
 
     from gmres_tpu.ops.pallas.sell_kernel import sell_spmv_pallas
 
