@@ -285,7 +285,11 @@ def sell_from_csr(
     # entries sum per half; hi+lo still equals the true fp64 sum to
     # ~2^-48.
     dense_blocks = np.zeros((n_dense_real + 1, W, C), dtype=np.float32)
-    dense_lo_blocks = np.zeros_like(dense_blocks) if df64 else None
+    # np.zeros is lazy (calloc) — np.zeros_like memsets eagerly, which
+    # costs seconds per GB on this host class
+    dense_lo_blocks = (
+        np.zeros((n_dense_real + 1, W, C), dtype=np.float32) if df64 else None
+    )
     if n_dense_real:
         dn = is_dense_nnz
         didx = pair_rank[sb_inv[dn]] + 1           # 0 is the shared zero block
