@@ -608,6 +608,20 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig, allow_df64: bool = True):
     A_in = A_fmt.astype(in_dt)
     same = out_dt == in_dt
     A_out = A_in if same else A_fmt.astype(out_dt)
+    # pre-staged SELL operator (stage() API): wrap the df64 sidecar for
+    # the fp64 outer residual when present
+    from gmres_tpu.ops.sell import DF64Sell as _DF64Sell
+    from gmres_tpu.ops.sell import SELLMatrix as _SELLMatrix
+
+    if (
+        isinstance(A_fmt, _SELLMatrix)
+        and not same
+        and out_dt == jnp.float64
+        and A_fmt.packed_lo
+        and allow_df64
+        and cfg.use_pallas
+    ):
+        A_out = _DF64Sell(sell=A_fmt)
     # Unstructured fast path: when DIA rejects the sparsity pattern, pack
     # the *inner* operator into SELL for the Pallas windowed-compare kernel
     # (ops/sell.py).  The outer (fp64) residual SpMV stays on the CSR XLA
@@ -686,7 +700,19 @@ def stage(A: CSRMatrix, cfg: GmresConfig | None = None):
     if cfg.auto_format and isinstance(A, CSRMatrix):
         from gmres_tpu.ops.dia import from_csr
 
-        A = from_csr(A) or A
+        dia = from_csr(A)
+        if dia is not None:
+            A = dia
+        elif (cfg.use_pallas and jax.default_backend() == "tpu"
+              and A.n_rows >= 128 * 1024):
+            from gmres_tpu.ops.sell import sell_from_csr
+
+            sell = sell_from_csr(
+                A, df64=jnp.dtype(cfg.precision.outer) == jnp.float64
+                and cfg.precision.inner_dtype != jnp.float64
+            )
+            if sell is not None:
+                A = sell
     return jax.device_put(A)
 
 
