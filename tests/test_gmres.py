@@ -291,3 +291,29 @@ def test_policy_unrolled_matches_rolled(policy_kw):
         if "arnoldi_final" in hr:
             np.testing.assert_allclose(hu["arnoldi_final"],
                                        hr["arnoldi_final"], rtol=1e-10)
+
+
+def test_fixed_unrolled_matches_rolled():
+    """The FIXED policy's unrolled fori path (what runs on TPU) must match
+    the rolled CPU loop exactly (VERDICT round-1 weak item 7)."""
+    import gmres_tpu.solver.gmres as gmres_mod
+
+    A = convection_diffusion_2d(12, beta=1.5)
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig.from_flags(
+        mode="mixed", orth="cgsr", prec="identity",
+        rlen=15, tol=1e-9, max_restarts=100,
+    )
+    assert cfg.policy == RestartPolicy.FIXED
+    res_rolled = solve(A, b, cfg, record_history=True)
+    gmres_mod._FORCE_POLICY_UNROLL = True
+    try:
+        res_unrolled = solve(A, b, cfg, record_history=True)
+    finally:
+        gmres_mod._FORCE_POLICY_UNROLL = False
+    assert res_unrolled.restarts == res_rolled.restarts
+    assert res_unrolled.total_iters == res_rolled.total_iters
+    for hr, hu in zip(res_rolled.history, res_unrolled.history):
+        np.testing.assert_allclose(hu["rel_initial"], hr["rel_initial"],
+                                   rtol=1e-12)
