@@ -161,6 +161,13 @@ class GmresConfig:
     # bf16 is usable rather than a footgun; the escalation is recorded in
     # GmresResult.escalated.
     bf16_escalation: bool = True
+    # Apply a bandwidth-reducing RCM reordering automatically when the
+    # operator's pattern defeats the fast formats (DIA rejects it) — the
+    # solve runs on the permuted system and returns the un-permuted
+    # solution (solve(reorder="rcm") semantics).  Off by default: the
+    # reference never reorders, and permutation changes the convergence
+    # history (identical in exact arithmetic only).
+    auto_reorder: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "orth", Orth(self.orth))

@@ -743,6 +743,18 @@ def solve(
     out_dt = jnp.dtype(cfg.precision.outer)
     in_dt = cfg.precision.inner_dtype
 
+    if (
+        reorder is None
+        and cfg.auto_reorder
+        and isinstance(A, CSRMatrix)
+        and M is None
+        and x0 is None
+    ):
+        from gmres_tpu.ops.dia import from_csr as _dia_try
+
+        if _dia_try(A) is None:
+            reorder = "rcm"
+
     perm = None
     if reorder is not None:
         if reorder != "rcm":

@@ -186,3 +186,37 @@ def test_bf16_escalation_converges_tight_tol():
     res_off = solve(A, b, dataclasses.replace(cfg, bf16_escalation=False))
     assert not res_off.escalated
     assert not res_off.converged
+
+
+def test_auto_reorder_matches_manual_rcm():
+    """cfg.auto_reorder applies RCM when DIA rejects the pattern and
+    returns the same (un-permuted) solution as solve(reorder='rcm')."""
+    rng = np.random.default_rng(21)
+    n = 500
+    perm = rng.permutation(n)
+    # banded matrix scrambled by a random permutation: DIA rejects the
+    # scrambled pattern; RCM recovers a banded ordering
+    from gmres_tpu.io.synth import convection_diffusion_2d
+
+    A0 = convection_diffusion_2d(22, beta=1.0)  # n=484 -> pad to 500? no: use 484
+    n = A0.n_rows
+    perm = rng.permutation(n)
+    rp = np.asarray(A0.row_ptr)
+    ci = np.asarray(A0.col_idx)[: A0.nnz]
+    v = np.asarray(A0.vals)[: A0.nnz]
+    rows = np.repeat(np.arange(n), np.diff(rp))
+    A = csr_from_coo(perm[rows], perm[ci], v, n_rows=n)
+    assert from_csr(A) is None
+
+    x_true = rand_vect(n, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig(restart_length=30, tol=1e-10, max_restarts=100,
+                      orth="cgsr", precond="identity")
+    res_manual = solve(A, b, cfg, reorder="rcm")
+    res_auto = solve(A, b, dataclasses.replace(cfg, auto_reorder=True))
+    assert res_auto.converged
+    assert res_auto.total_iters == res_manual.total_iters
+    np.testing.assert_allclose(np.asarray(res_auto.x),
+                               np.asarray(res_manual.x), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(res_auto.x), x_true,
+                               rtol=1e-5, atol=1e-7)
