@@ -40,6 +40,9 @@ from gmres_tpu.config import (  # noqa: E402
     PrecisionSpec,
 )
 from gmres_tpu.sparse import CSRMatrix, csr_from_coo, csr_from_dense  # noqa: E402
+from gmres_tpu.ops.dia import DIAMatrix  # noqa: E402
+from gmres_tpu.ops.sell import SELLMatrix, sell_from_csr  # noqa: E402
+from gmres_tpu.parallel.dist_gmres import solve_distributed  # noqa: E402
 from gmres_tpu.solver.gmres import solve, stage, GmresResult  # noqa: E402
 from gmres_tpu.io.loader import load_matrix, load_vector  # noqa: E402
 from gmres_tpu.io.rng import rand_vect  # noqa: E402
@@ -52,8 +55,12 @@ __all__ = [
     "RestartPolicy",
     "PrecisionSpec",
     "CSRMatrix",
+    "DIAMatrix",
+    "SELLMatrix",
+    "sell_from_csr",
     "csr_from_coo",
     "csr_from_dense",
+    "solve_distributed",
     "solve",
     "stage",
     "GmresResult",

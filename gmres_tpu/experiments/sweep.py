@@ -142,7 +142,7 @@ def main(argv=None) -> int:
     from gmres_tpu.cli.solve import make_synth
 
     mat = args.mat
-    if mat.startswith(("poisson2d:", "poisson3d:", "convdiff:")):
+    if mat.startswith(("poisson2d:", "poisson3d:", "convdiff:", "mesh:", "mesh3d:")):
         A = make_synth(mat)
         mat_name = mat.replace(":", "")
         b_path = None

@@ -641,14 +641,18 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig, allow_df64: bool = True):
         want_df64 = allow_df64 and not same and out_dt == jnp.float64
         sell = sell_from_csr(A, df64=want_df64)
         if sell is not None:
-            A_in = sell.astype(in_dt)
+            # one device-resident copy serves both roles: the inner f32
+            # operator and (wrapped) the df64 outer operator — the df64
+            # kernels read only the packed/lo/dense views, which astype
+            # leaves untouched
+            A_in = jax.device_put(sell.astype(in_dt))
             if same:
                 A_out = A_in
             elif want_df64:
                 # fp64 outer residual through the df64 SELL kernels — the
                 # XLA f64 gather alternative costs ~1.2 s per SpMV at 5M
                 # nnz (measured; VERDICT round-1 item 1 follow-through)
-                A_out = DF64Sell(sell=jax.device_put(sell))
+                A_out = DF64Sell(sell=A_in)
     # Commit the staged operators to the device ONCE (the reference's
     # host->device deep_copy boundary, types_cuda.hpp:103-114).  Construction
     # keeps numpy-backed pytrees for host-side setup work; without this the
