@@ -90,7 +90,8 @@ def mgs(V, k, w, axis_name=None, assume_zero_tail=False, use_pallas=True):
         from gmres_tpu.ops.pallas.orth_kernel import _mgs, mgs_profitable
 
         if mgs_profitable(V, use_pallas):
-            return _mgs(V, w)
+            h, w2, _ = _mgs(V, w)
+            return h, w2
     m1 = V.shape[0]
     h = jnp.zeros((m1,), dtype=V.dtype)
 
@@ -147,11 +148,16 @@ def orthonormalize_step(kind: str, V, k, w, axis_name=None,
     if assume_zero_tail:
         from gmres_tpu.ops.pallas.orth_kernel import (
             _gram,
+            _mgs,
             _update_sumsq,
             cgsr2_pallas,
+            mgs_profitable,
             profitable,
         )
 
+        if (kind == "mgs" and axis_name is None
+                and mgs_profitable(V, use_pallas)):
+            return _mgs(V, w)  # (h, w', ||w'||) — norm folded in-kernel
         if profitable(V, use_pallas):
             if kind == "cgsr" and orth_steps == 2:
                 return cgsr2_pallas(V, w, axis_name)

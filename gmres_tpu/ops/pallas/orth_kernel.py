@@ -274,12 +274,17 @@ def _mgs_kernel(V_hbm, w_hbm, w_out_ref, h_ref, vbuf, w_vmem, vsem, wsem, *,
     vj = vbuf[slot].astype(jnp.float32)        # (n/128, 128)
     wf = w_vmem[...].astype(jnp.float32)       # (n/128, 128)
     hj = jnp.sum(vj * wf)
-    w_vmem[...] = (wf - hj * vj).astype(w_vmem.dtype)
+    w_new = wf - hj * vj
+    w_vmem[...] = w_new.astype(w_vmem.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
     h_ref[0, :] += jnp.where(lane == j, hj, 0.0)
 
     @pl.when(j == m1 - 1)
     def _():
+        # fold ||w'|| into the final step (row 1, lane 0) — the separate
+        # nrm2 pass costs a full HBM read of w plus an in-loop op
+        ss = jnp.sum(w_new * w_new)
+        h_ref[1, :] = jnp.where(lane == 0, ss, 0.0)
         cp = pltpu.make_async_copy(w_vmem, w_out_ref, wsem)
         cp.start()
         cp.wait()
@@ -314,7 +319,8 @@ def _mgs(V, w, interpret=False):
             ],
             interpret=interpret,
         )(V3, w.reshape(rows, 128))
-    return h[0, :m1].astype(V.dtype), w_out.reshape(n)
+    return (h[0, :m1].astype(V.dtype), w_out.reshape(n),
+            jnp.sqrt(h[1, 0]).astype(V.dtype))
 
 
 def mgs_profitable(V, use_pallas: bool = True) -> bool:

@@ -75,7 +75,10 @@ def test_mgs_kernel_matches_rolled_reference():
 
     from gmres_tpu.ops.pallas.orth_kernel import _mgs
 
-    h, w2 = _mgs(jnp.asarray(V), jnp.asarray(w), interpret=True)
+    h, w2, hn = _mgs(jnp.asarray(V), jnp.asarray(w), interpret=True)
+    np.testing.assert_allclose(
+        float(hn), np.linalg.norm(np.asarray(w2)), rtol=1e-5
+    )
 
     href = np.zeros(m1, np.float32)
     wr = w.copy()
