@@ -154,26 +154,51 @@ class SELLMatrix:
         )
 
 
-def _chunk_stats(rows, cols, n_cols, W, K):
-    """Number of chunks for candidate (W, K).
+def _rb_groups(rows, bucket, n_buckets):
+    """Per-(row, bucket) groups WITHOUT an nnz-scale sort: entries are
+    CSR-ordered (row asc, col asc within row), so ``row * nb + bucket`` is
+    non-decreasing and group boundaries are a diff away.  Returns
+    (rb_starts, rb_counts, rb_of_nnz)."""
+    rb_key = rows * n_buckets + bucket
+    start_mask = np.empty(rb_key.shape[0], dtype=bool)
+    start_mask[0] = True
+    np.not_equal(rb_key[1:], rb_key[:-1], out=start_mask[1:])
+    rb_starts = np.flatnonzero(start_mask)
+    rb_counts = np.diff(np.append(rb_starts, rb_key.shape[0]))
+    rb_of_nnz = np.cumsum(start_mask) - 1
+    return rb_starts, rb_counts, rb_of_nnz
 
-    Entries are CSR-ordered (row asc, col asc within row), so each
-    (row, bucket) group is contiguous; a (slab, bucket) pair needs
-    ``ceil(max_count_over_rows / K)`` layers, and every layer is a chunk.
-    """
+
+def _sb_groups(rb_slab, rb_bucket, rb_counts, n_buckets):
+    """Group (row, bucket) groups by (slab, bucket): an R-scale sort (R =
+    number of rb groups, typically 3-10x smaller than nnz).  Returns
+    (sb_uniq sorted, sb_cnt, sb_max_rb, sb_rank_of_rb)."""
+    rb_sb = rb_slab * n_buckets + rb_bucket
+    order = np.argsort(rb_sb, kind="stable")
+    sb_sorted = rb_sb[order]
+    start_mask = np.empty(sb_sorted.shape[0], dtype=bool)
+    start_mask[0] = True
+    np.not_equal(sb_sorted[1:], sb_sorted[:-1], out=start_mask[1:])
+    starts = np.flatnonzero(start_mask)
+    sb_uniq = sb_sorted[starts]
+    cnt_sorted = rb_counts[order]
+    sb_cnt = np.add.reduceat(cnt_sorted, starts)
+    sb_max = np.maximum.reduceat(cnt_sorted, starts)
+    sb_rank_of_rb = np.empty(rb_sb.shape[0], dtype=np.int64)
+    sb_rank_of_rb[order] = np.cumsum(start_mask) - 1
+    return sb_uniq, sb_cnt, sb_max, sb_rank_of_rb
+
+
+def _chunk_stats(rows, cols, n_cols, W, K):
+    """Number of chunks for candidate (W, K): a (slab, bucket) pair needs
+    ``ceil(max_count_over_rows / K)`` layers, and every layer is a chunk."""
     nb = np.int64(max(1, -(-n_cols // W)))
     bucket = cols // W
-    key = rows.astype(np.int64) * nb + bucket
-    uk, counts = np.unique(key, return_counts=True)
-    sb_key = (uk // nb // C) * nb + uk % nb  # (slab, bucket)
-    order = np.argsort(sb_key, kind="stable")
-    sb_sorted = sb_key[order]
-    cnt_sorted = counts[order]
-    starts = np.flatnonzero(
-        np.concatenate([[True], sb_sorted[1:] != sb_sorted[:-1]])
-    )
-    max_cnt = np.maximum.reduceat(cnt_sorted, starts)
-    layers = -(-max_cnt // K)
+    rb_starts, rb_counts, _ = _rb_groups(rows, bucket, nb)
+    rb_slab = rows[rb_starts] // C
+    rb_bucket = bucket[rb_starts]
+    _, _, sb_max, _ = _sb_groups(rb_slab, rb_bucket, rb_counts, nb)
+    layers = -(-sb_max // K)
     return int(layers.sum())
 
 
@@ -257,9 +282,17 @@ def sell_from_csr(
     row_local = (rows - slab * C).astype(np.int64)
 
     # --- hybrid classification: per-(slab, bucket) nonzero counts ---
-    sb_key = slab * n_buckets + bucket
-    sb_uniq, sb_inv, sb_cnt = np.unique(sb_key, return_inverse=True,
-                                        return_counts=True)
+    # (sort-free group machinery: rb groups are CSR-ordered; only the
+    # rb -> sb grouping pays an R-scale sort)
+    rb_starts, rb_counts, rb_of_nnz = _rb_groups(rows, bucket, n_buckets)
+    rb_slab = rows[rb_starts] // C
+    rb_bucket = bucket[rb_starts]
+    sb_uniq, sb_cnt, sb_max_rb, sb_rank_of_rb = _sb_groups(
+        rb_slab, rb_bucket, rb_counts, n_buckets
+    )
+    sb_inv = sb_rank_of_rb[rb_of_nnz]          # nnz -> sb index
+    # position of each entry within its (row, bucket) group
+    seq_all = np.arange(nnz, dtype=np.int64) - rb_starts[rb_of_nnz]
     dense_min = int(dense_fill_min * W * C)
     pair_dense = sb_cnt >= max(dense_min, 2 * K)
     # cap total dense storage
@@ -318,27 +351,28 @@ def sell_from_csr(
         dense_vidx_arr = dense_vidx_arr[order]
 
     # --- ELL side on the remaining entries ---
+    # chunk ids WITHOUT an nnz-scale sort: per ELL (slab,bucket) pair the
+    # layer count is ceil(max_rb_count / K); chunk index = the pair's
+    # exclusive layer-count prefix + the entry's layer.  Pairs ascend in
+    # sb_uniq order, so chunks come out sorted by (slab, bucket, layer).
     e = ~is_dense_nnz
-    rows_e, slab_e, bucket_e = rows[e], slab[e], bucket[e]
     col_rel_e, row_local_e, v_e = col_rel[e], row_local[e], v[e]
-    nnz_e = rows_e.shape[0]
-    # position of each entry within its (row, bucket) group (groups are
-    # contiguous in CSR order; dropping dense entries keeps the order)
-    key = rows_e * n_buckets + bucket_e
-    new_group = np.concatenate([[True], key[1:] != key[:-1]])
-    idx = np.arange(nnz_e, dtype=np.int64)
-    group_start = np.maximum.accumulate(np.where(new_group, idx, 0))
-    seq = idx - group_start
+    seq = seq_all[e]
     layer = seq // K
     slot = (seq - layer * K).astype(np.int64)
 
-    max_layers = int(layer.max()) + 1 if nnz_e else 1
-    ckey = (slab_e * n_buckets + bucket_e) * max_layers + layer
-    uniq, inv = np.unique(ckey, return_inverse=True)
-    n_chunks = uniq.shape[0]
+    ell_pair = ~pair_dense
+    pair_layers = np.where(ell_pair, -(-sb_max_rb // K), 0)
+    chunk_base = np.zeros(sb_uniq.shape[0] + 1, dtype=np.int64)
+    np.cumsum(pair_layers, out=chunk_base[1:])
+    n_chunks = int(chunk_base[-1])
+    inv = chunk_base[sb_inv[e]] + layer
 
-    chunk_slab = (uniq // max_layers // n_buckets).astype(np.int64)
-    chunk_bucket = (uniq // max_layers % n_buckets).astype(np.int32)
+    ell_sb = sb_uniq[ell_pair]
+    chunk_slab = np.repeat(ell_sb // n_buckets, pair_layers[ell_pair])
+    chunk_bucket = np.repeat(
+        (ell_sb % n_buckets).astype(np.int32), pair_layers[ell_pair]
+    )
 
     # ensure every output block has a chunk (zero-init coverage), then pad
     # every block's chunk count to a multiple of G_BATCH (a grid step
