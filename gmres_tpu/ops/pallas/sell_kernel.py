@@ -38,14 +38,42 @@ from jax.experimental.pallas import tpu as pltpu
 from gmres_tpu.ops.sell import C, G_BATCH, SLABS_PER_BLOCK, SELLMatrix, _pad_x
 
 
-def _sell_kernel(bucket_ref, slab_ref, packed_ref, *rest, W: int, K: int,
-                 G: int):
-    """One grid step = G chunks of one output block (the per-step pipeline
-    overhead dominates per-chunk compute — batching amortizes it)."""
-    x_refs = rest[:G]
-    y_ref = rest[G]
+# Outstanding manually-rotated window DMAs: the measured ~400 ns/chunk
+# floor tracks the x-window fetch latency under the default 2-deep
+# BlockSpec pipeline, so the windows are DMA'd by hand with this much
+# lookahead (must cover G_BATCH x the latency/compute ratio).
+_WIN_DEPTH = 8
+
+
+def _sell_kernel(bucket_ref, slab_ref, packed_ref, x_hbm, y_ref, xwin, wsem,
+                 *, W: int, K: int, G: int, n_chunks: int):
+    """One grid step = G chunks of one output block; x windows ride a
+    _WIN_DEPTH-deep manual DMA rotation (deeper than the BlockSpec
+    pipeline's double buffering — the window fetch latency was the
+    measured per-chunk floor)."""
     step = pl.program_id(0)
     base = step * G
+
+    def win_dma(c):
+        # chunk index c -> its (1, W) window into rotation slot c % DEPTH
+        return pltpu.make_async_copy(
+            x_hbm.at[bucket_ref[c]],
+            xwin.at[jax.lax.rem(c, _WIN_DEPTH)],
+            wsem.at[jax.lax.rem(c, _WIN_DEPTH)],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        for c in range(min(_WIN_DEPTH - G, n_chunks)):
+            win_dma(jnp.asarray(c, jnp.int32)).start()
+
+    # keep the rotation full: issue the windows this step's lookahead spans
+    for i in range(G):
+        nxt = base + (_WIN_DEPTH - G) + i
+        @pl.when(nxt < n_chunks)
+        def _(nxt=nxt):
+            win_dma(nxt).start()
+
     blk = slab_ref[base] // SLABS_PER_BLOCK
     prev_blk = slab_ref[jnp.maximum(base - G, 0)] // SLABS_PER_BLOCK
     is_first = jnp.logical_or(step == 0, blk != prev_blk)
@@ -59,7 +87,8 @@ def _sell_kernel(bucket_ref, slab_ref, packed_ref, *rest, W: int, K: int,
         buf = packed_ref[i]  # (2K, C): [vals_f32 ; bitcast cols]
         vals = buf[:K]
         cols = jax.lax.bitcast_convert_type(buf[K:], jnp.int32)
-        xw = x_refs[i][0]    # (1, W) — this chunk's bucket window
+        win_dma(base + i).wait()
+        xw = xwin[jax.lax.rem(base + i, _WIN_DEPTH)]  # (1, W)
         # Densify the slab with the window along SUBLANES and the 128
         # rows along LANES: dense[w, r] = sum of slot values with column
         # w in row r (cmp + select + add per slot).  The contraction over
@@ -145,18 +174,8 @@ def _sell_call(bucket, slab, packed, xp, *, W, K, n_chunks, n_slabs,
                first_block, interpret=False):
     G = G_BATCH
     assert n_chunks % G == 0, n_chunks
-    kernel = functools.partial(_sell_kernel, W=W, K=K, G=G)
-
-    def win_spec(i):
-        # x as (n_buckets, 1, W): the block's trailing dims then equal the
-        # array's, which Mosaic accepts for any W (a 1D W-block fails
-        # layout verification; a 2D (1, W) block fails the
-        # divisible-by-8 sublane rule)
-        return pl.BlockSpec(
-            (1, 1, W),
-            lambda g, bk, sl, i=i: (bk[g * G + i], 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    kernel = functools.partial(_sell_kernel, W=W, K=K, G=G,
+                               n_chunks=n_chunks)
 
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -165,20 +184,25 @@ def _sell_call(bucket, slab, packed, xp, *, W, K, n_chunks, n_slabs,
             in_specs=[
                 pl.BlockSpec((G, 2 * K, C), lambda g, bk, sl: (g, 0, 0),
                              memory_space=pltpu.VMEM),
-            ] + [win_spec(i) for i in range(G)],
+                pl.BlockSpec(memory_space=pl.ANY),  # x windows DMA'd by hand
+            ],
             out_specs=pl.BlockSpec(
                 (SLABS_PER_BLOCK, C),
                 lambda g, bk, sl: (sl[g * G] // SLABS_PER_BLOCK - first_block,
                                    0),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((_WIN_DEPTH, 1, W), jnp.float32),
+                pltpu.SemaphoreType.DMA((_WIN_DEPTH,)),
+            ],
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_slabs, C), packed.dtype),
             interpret=interpret,
-        )(bucket, slab, packed, *([xp] * G))
+        )(bucket, slab, packed, xp)
 
 
 def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,
