@@ -252,10 +252,32 @@ def sell_from_csr(
     v = np.asarray(A.vals)[:nnz]
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
 
-    if W is None or K is None:
+    # The sort-free group machinery below requires entries ordered by
+    # (row, col): valid CSR does not guarantee sorted columns (and
+    # csr_from_arrays doesn't sort), and unsorted rows would split a
+    # (row, bucket) pair into multiple groups whose slot sequences
+    # restart at 0 — distinct nonzeros would then collide on the same
+    # (chunk, slot, row) cell and be silently dropped.  Detect (O(nnz)
+    # compare) and stable-sort only when needed.
+    rc_key = rows * np.int64(A.n_cols) + ci
+    if not np.all(rc_key[1:] >= rc_key[:-1]):
+        order = np.argsort(rc_key, kind="stable")
+        rows, ci, v = rows[order], ci[order], v[order]
+    del rc_key
+
+    if W is None and K is None:
+        W_cands, K_cands = (128, 256, 512, 1024), (4, 8, 16)
+    elif W is None or K is None:
+        # autotune only the missing parameter; hold the given one fixed
+        W_cands = (W,) if W is not None else (128, 256, 512, 1024)
+        K_cands = (K,) if K is not None else (4, 8, 16)
+    else:
+        W_cands = K_cands = None
+
+    if W_cands is not None:
         best = None
-        for Wc in (128, 256, 512, 1024):
-            for Kc in (4, 8, 16):
+        for Wc in W_cands:
+            for Kc in K_cands:
                 n_chunks = _chunk_stats(rows, ci, A.n_cols, Wc, Kc)
                 # Empirical per-chunk cost in ~ns (probe_sell_cost.py):
                 # the kernel is DMA-transaction + MXU-matvec bound; the

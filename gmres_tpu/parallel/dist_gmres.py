@@ -239,8 +239,8 @@ def solve_distributed(
     M = build_preconditioner(A, cfg)
     prec_seconds = time.perf_counter() - t0
     stage_key = (n_shards, cfg.auto_format, str(out_dt), str(in_dt),
-                 cfg.precond, cfg.jacobi_steps, cfg.use_pallas, force_df64,
-                 multihost)
+                 str(cfg.precision.precond_dtype), cfg.precond,
+                 cfg.jacobi_steps, cfg.use_pallas, force_df64, multihost)
 
     t1 = time.perf_counter()
     # one-time norms on the unpartitioned operands (single-device, O(n))

@@ -876,9 +876,11 @@ def solve(
         esc = solve(
             A_fallback,
             np.asarray(b)[:n_orig],
-            cfg.with_(precision=esc_prec),
+            cfg.with_(precision=esc_prec,
+                      max_restarts=max(1, cfg.max_restarts - result.restarts)),
             x0=np.asarray(result.x)[:n_orig],
             record_history=record_history, progress=progress,
+            checkpoint=checkpoint,
         )
         esc.escalated = True
         esc.total_iters += result.total_iters

@@ -254,3 +254,54 @@ def test_df64_sell_dense_chunks_accuracy():
     want = A.to_scipy() @ x
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 1e-11, rel
+
+
+def test_pack_unsorted_columns():
+    """Valid CSR with unsorted columns within a row (csr_from_arrays
+    neither sorts nor requires sorted columns) must pack correctly: the
+    sort-free grouping needs (row, col) order and must sort when the
+    input violates it (ADVICE round-2 high finding)."""
+    from gmres_tpu.sparse import csr_from_arrays
+
+    # the advisor's repro: one row with cols [200, 5, 250, 10] at W=128
+    row_ptr = np.array([0, 4], dtype=np.int32)
+    cols = np.array([200, 5, 250, 10], dtype=np.int32)
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    A = csr_from_arrays(row_ptr, cols, vals, n_cols=512)
+    S = sell_from_csr(A, W=128, K=4)
+    assert S is not None
+    x = np.ones(512)
+    y = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
+    np.testing.assert_allclose(y[0], 10.0, rtol=1e-12)
+
+    # a larger random shuffle-within-rows case, checked against scipy
+    rng = np.random.default_rng(7)
+    n = 2000
+    rows, cols_l = [], []
+    for i in range(n):
+        c = np.unique(np.clip(i + rng.integers(-300, 300, size=8), 0, n - 1))
+        rng.shuffle(c)  # deliberately unsorted within the row
+        rows.extend([i] * len(c))
+        cols_l.extend(c.tolist())
+    nnz = len(rows)
+    vals = rng.standard_normal(nnz)
+    counts = np.bincount(np.asarray(rows), minlength=n)
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    A = csr_from_arrays(row_ptr, np.asarray(cols_l, np.int32), vals)
+    S = sell_from_csr(A, W=128, K=4)
+    assert S is not None and S.nnz == nnz
+    x = rng.standard_normal(n)
+    got = np.asarray(sell_spmv_xla(S, jnp.asarray(x)))
+    want = A.to_scipy() @ x
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+def test_autotune_single_param_held_fixed():
+    """Passing exactly one of (W, K) autotunes only the other (ADVICE
+    round-2 low finding)."""
+    A = _random_local_csr(n=1500, seed=11)
+    S_w = sell_from_csr(A, W=256)
+    assert S_w is not None and S_w.W == 256
+    S_k = sell_from_csr(A, K=8)
+    assert S_k is not None and S_k.K == 8
