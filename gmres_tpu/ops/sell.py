@@ -226,6 +226,37 @@ def _plan_parts(chunk_blocks: np.ndarray, n_blocks_total: int):
     return splits
 
 
+def autotune_wk(rows, ci, n_cols, nnz, W=None, K=None,
+                max_vreg_per_nnz: float = 24.0):
+    """Pick (W, K) minimizing the per-chunk cost model; ``None`` when the
+    estimated work per nonzero exceeds the gate (the XLA gather fallback is
+    then no worse).  A caller-supplied W or K is held fixed; entries must
+    already be (row, col)-sorted.
+
+    Empirical per-chunk cost in ~ns (scripts/probe_sell_cost.py): the
+    kernel is DMA-transaction + MXU-matvec bound; the VPU densify hides
+    under the pipeline.  ~160 fixed (window DMA + output update +
+    pipeline), ~0.25/W-lane (matvec weight stream), ~0.012/byte of slot
+    DMA.  Shared by ``sell_from_csr`` (single-chip) and
+    ``parallel/sell_dist.partition_sell`` (same (W, K) across all shards).
+    """
+    W_cands = (W,) if W is not None else (128, 256, 512, 1024)
+    K_cands = (K,) if K is not None else (4, 8, 16)
+    best = None
+    for Wc in W_cands:
+        for Kc in K_cands:
+            n_chunks = _chunk_stats(rows, ci, n_cols, Wc, Kc)
+            slot_bytes = 2 * Kc * C * 4
+            cost = n_chunks * (160 + Wc // 4 + slot_bytes // 80)
+            if best is None or cost < best[0]:
+                best = (cost, Wc, Kc)
+    cost, Wb, Kb = best
+    vregs = cost // 2  # rough ns -> VREG-equivalent for the gate
+    if vregs / nnz > max_vreg_per_nnz:
+        return None
+    return Wb, Kb
+
+
 def sell_from_csr(
     A: CSRMatrix,
     W: int | None = None,
@@ -235,6 +266,7 @@ def sell_from_csr(
     dense_fill_min: float = 0.012,
     max_dense_bytes: int = 4 << 30,
     df64: bool = False,
+    host_arrays: bool = False,
 ) -> SELLMatrix | None:
     """Pack CSR into SELL, auto-tuning (W, K); None when unprofitable.
 
@@ -242,7 +274,13 @@ def sell_from_csr(
     fixed per-chunk overhead; packing is refused when the estimated
     VREG-ops per true nonzero exceed ``max_vreg_per_nnz`` (the XLA
     gather fallback is then no worse).
+
+    ``host_arrays=True`` keeps every array as host numpy (no device
+    upload) — for callers that post-process the pack (e.g. the
+    distributed partitioner stacking per-shard packs before a sharded
+    device_put, ``parallel/sell_dist.py``).
     """
+    conv = (lambda a: a) if host_arrays else jnp.asarray
     n = A.n_rows
     rp = np.asarray(A.row_ptr).astype(np.int64)
     nnz = int(rp[-1])
@@ -265,33 +303,11 @@ def sell_from_csr(
         rows, ci, v = rows[order], ci[order], v[order]
     del rc_key
 
-    if W is None and K is None:
-        W_cands, K_cands = (128, 256, 512, 1024), (4, 8, 16)
-    elif W is None or K is None:
-        # autotune only the missing parameter; hold the given one fixed
-        W_cands = (W,) if W is not None else (128, 256, 512, 1024)
-        K_cands = (K,) if K is not None else (4, 8, 16)
-    else:
-        W_cands = K_cands = None
-
-    if W_cands is not None:
-        best = None
-        for Wc in W_cands:
-            for Kc in K_cands:
-                n_chunks = _chunk_stats(rows, ci, A.n_cols, Wc, Kc)
-                # Empirical per-chunk cost in ~ns (probe_sell_cost.py):
-                # the kernel is DMA-transaction + MXU-matvec bound; the
-                # VPU densify hides under the pipeline.  ~160 fixed
-                # (window DMA + output update + pipeline), ~0.25/W-lane
-                # (matvec weight stream), ~0.012/byte of slot DMA.
-                slot_bytes = 2 * Kc * C * 4
-                cost = n_chunks * (160 + Wc // 4 + slot_bytes // 80)
-                if best is None or cost < best[0]:
-                    best = (cost, Wc, Kc, n_chunks)
-        vregs, W, K, _ = best
-        vregs = vregs // 2  # rough ns -> VREG-equivalent for the gate
-        if vregs / nnz > max_vreg_per_nnz:
+    if W is None or K is None:
+        tuned = autotune_wk(rows, ci, A.n_cols, nnz, W, K, max_vreg_per_nnz)
+        if tuned is None:
             return None
+        W, K = tuned
 
     n_rows_pad = -(-n // ROWS_PER_BLOCK) * ROWS_PER_BLOCK
     n_blocks = n_rows_pad // ROWS_PER_BLOCK
@@ -440,31 +456,31 @@ def sell_from_csr(
     for (lo, hi, blk_lo, blk_hi) in splits:
         data_p.append(vals_arr[lo:hi])
         cols_p.append(cols_arr[lo:hi])
-        packed_p.append(jnp.asarray(merged[lo:hi]))
+        packed_p.append(conv(merged[lo:hi]))
         if df64:
-            plo_p.append(jnp.asarray(merged_lo[lo:hi]))
-        bucket_p.append(jnp.asarray(chunk_bucket[lo:hi]))
-        slab_p.append(jnp.asarray(chunk_slab[lo:hi].astype(np.int32)))
+            plo_p.append(conv(merged_lo[lo:hi]))
+        bucket_p.append(conv(chunk_bucket[lo:hi]))
+        slab_p.append(conv(chunk_slab[lo:hi].astype(np.int32)))
         parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
 
     dbucket_p, dslab_p, dvidx_p, dense_parts = [], [], [], []
     if n_dense_real:
         dsplits = _plan_parts(dense_slab_arr // SLABS_PER_BLOCK, n_blocks)
         for (lo, hi, blk_lo, blk_hi) in dsplits:
-            dbucket_p.append(jnp.asarray(dense_bucket_arr[lo:hi]))
-            dslab_p.append(jnp.asarray(dense_slab_arr[lo:hi].astype(np.int32)))
-            dvidx_p.append(jnp.asarray(dense_vidx_arr[lo:hi].astype(np.int32)))
+            dbucket_p.append(conv(dense_bucket_arr[lo:hi]))
+            dslab_p.append(conv(dense_slab_arr[lo:hi].astype(np.int32)))
+            dvidx_p.append(conv(dense_vidx_arr[lo:hi].astype(np.int32)))
             dense_parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
 
     return SELLMatrix(
-        data=tuple(jnp.asarray(d) for d in data_p),
-        cols=tuple(jnp.asarray(c) for c in cols_p),
+        data=tuple(conv(d) for d in data_p),
+        cols=tuple(conv(c) for c in cols_p),
         packed=tuple(packed_p),
         packed_lo=tuple(plo_p),
         bucket=tuple(bucket_p),
         slab=tuple(slab_p),
-        dense_data=(jnp.asarray(dense_blocks),),
-        dense_lo=((jnp.asarray(dense_lo_blocks),) if df64 else ()),
+        dense_data=(conv(dense_blocks),),
+        dense_lo=((conv(dense_lo_blocks),) if df64 else ()),
         dense_bucket=tuple(dbucket_p),
         dense_slab=tuple(dslab_p),
         dense_vidx=tuple(dvidx_p),

@@ -102,22 +102,31 @@ def _partition_matrix(A: CSRMatrix, n_shards: int, use_halo: bool):
     return partition_rows(A, n_shards)
 
 
-def _partition_prec(M, n_shards: int, use_halo: bool = True):
+def _partition_prec(M, n_shards: int, use_halo: bool = True,
+                    rows_per: int | None = None):
+    """``rows_per`` (from a SELL-partitioned operator) forces every piece
+    onto the same ROWS_PER_BLOCK-aligned shard height."""
     if isinstance(M, IdentityPrec):
         return M
     if isinstance(M, JacobiPrec):
         # padded rows get inv_diag 1.0: they only ever see zero inputs
-        pad = pad_vector(np.asarray(M.inv_diag), n_shards)
+        pad = pad_vector(np.asarray(M.inv_diag), n_shards, rows_per)
         n = np.asarray(M.inv_diag).shape[0]
         pad[n:] = 1.0
         return JacobiPrec(inv_diag=jnp.asarray(pad))
     if isinstance(M, ILUJacobiPrec):
-        pad = pad_vector(np.asarray(M.inv_diag), n_shards)
+        pad = pad_vector(np.asarray(M.inv_diag), n_shards, rows_per)
         n = np.asarray(M.inv_diag).shape[0]
         pad[n:] = 1.0
+        if rows_per is not None:
+            lower = partition_rows(M.lower, n_shards, rows_per=rows_per)
+            upper = partition_rows(M.upper, n_shards, rows_per=rows_per)
+        else:
+            lower = _partition_matrix(M.lower, n_shards, use_halo)
+            upper = _partition_matrix(M.upper, n_shards, use_halo)
         return DistILUJacobiPrec(
-            lower=_partition_matrix(M.lower, n_shards, use_halo),
-            upper=_partition_matrix(M.upper, n_shards, use_halo),
+            lower=lower,
+            upper=upper,
             inv_diag=jnp.asarray(pad),
             steps=M.steps,
         )
@@ -126,9 +135,19 @@ def _partition_prec(M, n_shards: int, use_halo: bool = True):
 
 def _localize_matrix(A):
     """Inside shard_map: PartitionedCSR blocks rebuild a local CSRMatrix;
-    halo operators pass through (spmv dispatches on them directly)."""
+    PartitionedSELL rebuilds the shard-local SELL pack (and its df64
+    wrapper); halo operators pass through (spmv dispatches on them
+    directly)."""
+    from gmres_tpu.parallel.sell_dist import PartitionedDF64Sell, PartitionedSELL
+
     if isinstance(A, PartitionedCSR):
         return A.local_block()
+    if isinstance(A, PartitionedSELL):
+        return A.local_sell()
+    if isinstance(A, PartitionedDF64Sell):
+        from gmres_tpu.ops.sell import DF64Sell
+
+        return DF64Sell(sell=A.psell.local_sell())
     return A
 
 
@@ -207,6 +226,7 @@ def solve_distributed(
     progress=None,
     force_df64: bool = False,
     multihost: bool = False,
+    force_sell: bool = False,
 ) -> GmresResult:
     """Row-partitioned GMRES over all devices (or the given mesh).
 
@@ -240,7 +260,8 @@ def solve_distributed(
     prec_seconds = time.perf_counter() - t0
     stage_key = (n_shards, cfg.auto_format, str(out_dt), str(in_dt),
                  str(cfg.precision.precond_dtype), cfg.precond,
-                 cfg.jacobi_steps, cfg.use_pallas, force_df64, multihost)
+                 cfg.jacobi_steps, cfg.use_pallas, force_df64, multihost,
+                 force_sell)
 
     t1 = time.perf_counter()
     # one-time norms on the unpartitioned operands (single-device, O(n))
@@ -254,10 +275,50 @@ def solve_distributed(
     # host-side numpy over the whole operator (seconds at 1M rows) — cache
     # the staged result per matrix object like prepare_operators does.
     cached = _dist_stage_cache_get(A, stage_key)
+    wrap_df64_sell = False
     if cached is None:
-        Ao_p = _partition_matrix(A_out, n_shards, cfg.auto_format)
-        Ai_p = Ao_p if A_in is A_out else _partition_matrix(A_in, n_shards, cfg.auto_format)
-        M_p = _partition_prec(M, n_shards, cfg.auto_format)
+        # Unstructured fast path (round-2 VERDICT item 3): when the
+        # pattern is not banded (DIA rejects it — so the halo partitioner
+        # could at best produce the rebased HaloCSR, whose local SpMV is
+        # the XLA gather at ~5e7 nnz/s per shard), pack the f32 inner
+        # operator as per-shard SELL and keep the Pallas kernel under
+        # shard_map; the fp64 outer residual rides the df64 SELL sidecar.
+        psell = None
+        want_df64 = False
+        if (
+            cfg.auto_format
+            and cfg.use_pallas
+            and in_dt == jnp.float32
+            and (A.n_rows >= 64 * 1024 or force_sell)
+        ):
+            from gmres_tpu.ops.dia import from_csr as _dia_try
+
+            if _dia_try(A) is None:
+                from gmres_tpu.parallel.sell_dist import partition_sell
+
+                want_df64 = out_dt == jnp.float64 and (
+                    jax.default_backend() == "tpu" or force_df64
+                )
+                psell = partition_sell(A, n_shards, df64=want_df64)
+        if psell is not None:
+            Ai_p = psell
+            rows_per = psell.rows_per_shard
+            if want_df64:
+                wrap_df64_sell = True  # Ao_p wraps after device staging
+                Ao_p = psell           # placeholder; replaced below
+            elif out_dt == in_dt:
+                Ao_p = psell
+            else:
+                # fp64 outer residual keeps the CSR allgather (runs once
+                # per restart), on SELL's ROWS_PER_BLOCK-aligned shards
+                Ao_p = partition_rows(A_out, n_shards, rows_per=rows_per)
+            M_p = _partition_prec(M, n_shards, use_halo=False,
+                                  rows_per=rows_per)
+        else:
+            Ao_p = _partition_matrix(A_out, n_shards, cfg.auto_format)
+            Ai_p = Ao_p if A_in is A_out else _partition_matrix(
+                A_in, n_shards, cfg.auto_format)
+            M_p = _partition_prec(M, n_shards, cfg.auto_format)
     else:
         Ao_p, Ai_p, M_p = cached
 
@@ -267,7 +328,7 @@ def solve_distributed(
     # (the sharded cycle keeps the single-chip fast path; VERDICT item 3).
     from gmres_tpu.parallel.halo import HaloDIA
 
-    df64_active = hasattr(Ao_p, "data_hi")
+    df64_active = hasattr(Ao_p, "data_hi") or wrap_df64_sell
     if (
         cached is None
         and isinstance(Ao_p, HaloDIA)
@@ -296,16 +357,33 @@ def solve_distributed(
         return jax.device_put(a, shard0)
 
     put = lambda t: jax.tree.map(_to_device, t)
-    Ao_p, Ai_p = put(Ao_p), put(Ai_p)
+    shared = Ao_p is Ai_p
+    Ai_p = put(Ai_p)
+    if wrap_df64_sell:
+        # ONE device copy serves both roles: the f32 inner operator and
+        # (wrapped) the df64 outer — the df64 kernels read only the
+        # packed/lo views, which the wrapper shares
+        from gmres_tpu.parallel.sell_dist import PartitionedDF64Sell
+
+        Ao_p = PartitionedDF64Sell(psell=Ai_p)
+    elif shared:
+        Ao_p = Ai_p
+    else:
+        Ao_p = put(Ao_p)
     M_p = put(M_p) if not isinstance(M_p, IdentityPrec) else M_p
     if cached is None:
         _dist_stage_cache_put(A, stage_key, (Ao_p, Ai_p, M_p))
 
-    b_pad = _to_device(pad_vector(np.asarray(b, dtype=out_dt), n_shards))
+    # per-shard vector length follows the partitioned operator (SELL
+    # shards are ROWS_PER_BLOCK-aligned, larger than ceil(n/P))
+    rows_eff = getattr(Ai_p, "rows_per_shard", None)
+    b_pad = _to_device(pad_vector(np.asarray(b, dtype=out_dt), n_shards,
+                                  rows_eff))
     if x0 is None:
         x = jax.jit(jnp.zeros_like, out_shardings=shard0)(b_pad)
     else:
-        x = _to_device(pad_vector(np.asarray(x0, dtype=out_dt), n_shards))
+        x = _to_device(pad_vector(np.asarray(x0, dtype=out_dt), n_shards,
+                                  rows_eff))
     if df64_active:
         from gmres_tpu.ops.pallas.df64_kernel import merge_f64, split_f64
 
@@ -323,13 +401,12 @@ def solve_distributed(
     result.solve_seconds = time.perf_counter() - t1
     if df64_active:
         result.x = jax.jit(merge_f64)(*result.x)
-    if multihost:
-        # x is a global (process-spanning) array; slice under jit and let
-        # XLA re-lay it out — host-side indexing of non-addressable shards
-        # would fail
+    # slice the padding off under jit: multihost arrays have
+    # non-addressable shards, and even single-host eager slicing of a
+    # sharded array at a non-shard-aligned boundary (SELL's
+    # ROWS_PER_BLOCK-padded shards) is an unresolvable eager gather
+    if result.x.shape[0] != n:
         result.x = jax.jit(lambda a: a[:n])(result.x)
-    else:
-        result.x = result.x[:n]
     return result
 
 

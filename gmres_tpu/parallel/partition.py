@@ -69,8 +69,13 @@ def padded_size(n: int, n_shards: int) -> int:
     return -(-n // n_shards) * n_shards
 
 
-def pad_vector(v: np.ndarray, n_shards: int) -> np.ndarray:
-    n_pad = padded_size(v.shape[0], n_shards)
+def pad_vector(v: np.ndarray, n_shards: int,
+               rows_per: int | None = None) -> np.ndarray:
+    """Zero-pad to ``n_shards`` equal shards.  ``rows_per`` overrides the
+    per-shard length (e.g. the SELL partition's ROWS_PER_BLOCK-aligned
+    blocks, ``parallel/sell_dist.py``)."""
+    n_pad = (rows_per * n_shards if rows_per is not None
+             else padded_size(v.shape[0], n_shards))
     if n_pad == v.shape[0]:
         return v
     out = np.zeros((n_pad,), dtype=v.dtype)
@@ -78,11 +83,19 @@ def pad_vector(v: np.ndarray, n_shards: int) -> np.ndarray:
     return out
 
 
-def partition_rows(A: CSRMatrix, n_shards: int, pad_multiple: int = 1024) -> PartitionedCSR:
-    """Split A into n_shards contiguous row blocks with identical shapes."""
+def partition_rows(A: CSRMatrix, n_shards: int, pad_multiple: int = 1024,
+                   rows_per: int | None = None) -> PartitionedCSR:
+    """Split A into n_shards contiguous row blocks with identical shapes.
+    ``rows_per`` overrides the block height (must cover ceil(n/P)) so
+    mixed-format partitions (e.g. CSR factors alongside a SELL operator)
+    agree on shard shapes."""
     n = A.n_rows
-    n_pad = padded_size(n, n_shards)
-    rows_per = n_pad // n_shards
+    if rows_per is not None:
+        assert rows_per * n_shards >= n, (rows_per, n_shards, n)
+        n_pad = rows_per * n_shards
+    else:
+        n_pad = padded_size(n, n_shards)
+        rows_per = n_pad // n_shards
 
     rp = np.asarray(A.row_ptr).astype(np.int64)
     nnz = int(rp[-1])

@@ -1,0 +1,372 @@
+"""Row-partitioned SELL operators for distributed unstructured SpMV.
+
+The reference is single-device (SURVEY.md §2.6); its cuSPARSE backend runs
+arbitrary CSR at memory bandwidth (``kernels_cuda.cpp:576-614``).  The
+multi-chip scope of this build (BASELINE.json north star) previously lost
+that speed for unstructured patterns: a non-banded matrix distributed over
+shards fell back to the allgather ``PartitionedCSR`` whose gather +
+segment-sum SpMV runs ~5e7 nnz/s per shard (round-2 VERDICT missing
+item 3).  This module keeps the SELL Pallas fast path under ``shard_map``:
+
+- SELL chunks are grouped by output block (``ops/sell.py:_plan_parts``),
+  which IS a contiguous row partition — each shard packs its own row
+  block (``rows_per_shard`` = a multiple of ``ROWS_PER_BLOCK``) with the
+  SAME globally-autotuned (W, K), so per-shard kernels share one compiled
+  program;
+- per-shard chunk counts are padded to the max across shards with inert
+  dummy chunks (zero values, existing output block), giving every leaf a
+  uniform ``(P, ...)`` stacked shape that shards over the mesh axis;
+- inside ``shard_map`` the local ``SELLMatrix`` is rebuilt from the
+  leading-dim-1 slices and the existing kernels run unchanged: the inner
+  SpMV all-gathers the operand (``ops/spmv.py``), the fp64 outer residual
+  runs the df64 SELL kernel on the gathered (hi, lo) split pair with
+  psum'd norm partials (``solver/gmres.py:restart_cycle_impl``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+
+from gmres_tpu.ops.sell import (
+    C,
+    G_BATCH,
+    ROWS_PER_BLOCK,
+    SLABS_PER_BLOCK,
+    SELLMatrix,
+    autotune_wk,
+    sell_from_csr,
+)
+from gmres_tpu.sparse import CSRMatrix
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data", "cols", "packed", "packed_lo", "bucket", "slab",
+                 "dense_data", "dense_lo", "dense_bucket", "dense_slab",
+                 "dense_vidx"),
+    meta_fields=("n_shards", "rows_per_shard", "n_rows", "n_cols", "nnz",
+                 "W", "K", "n_buckets", "n_chunks", "n_dense_chunks",
+                 "n_dense_blocks", "df64"),
+)
+@dataclasses.dataclass(frozen=True)
+class PartitionedSELL:
+    """Per-shard SELL packs stacked over a leading shard axis.
+
+    Static metadata is identical across shards by construction (shared
+    (W, K); chunk/dense counts padded to the shard maximum), so the
+    shard_map'd kernel traces once.  ``n_dense_chunks == 0`` means no
+    shard crossed the dense-fill threshold and the dense side is a single
+    shared zero block per shard.
+    """
+
+    data: jax.Array        # (P, n_chunks, K, C)
+    cols: jax.Array        # (P, n_chunks, K, C) int32
+    packed: jax.Array      # (P, n_chunks, 2K, C) f32
+    packed_lo: jax.Array   # (P, n_chunks, K, C) f32 (zeros when not df64)
+    bucket: jax.Array      # (P, n_chunks) int32
+    slab: jax.Array        # (P, n_chunks) int32, non-decreasing per shard
+    dense_data: jax.Array  # (P, n_dense_blocks, W, C); block 0 = zeros
+    dense_lo: jax.Array    # same shape (zeros when not df64)
+    dense_bucket: jax.Array  # (P, n_dense_chunks) int32
+    dense_slab: jax.Array    # (P, n_dense_chunks) int32
+    dense_vidx: jax.Array    # (P, n_dense_chunks) int32
+    n_shards: int
+    rows_per_shard: int    # multiple of ROWS_PER_BLOCK
+    n_rows: int            # true global row count
+    n_cols: int            # global PADDED operand length (= P * rows_per)
+    nnz: int               # true global stored-entry count
+    W: int
+    K: int
+    n_buckets: int
+    n_chunks: int          # per shard, multiple of G_BATCH
+    n_dense_chunks: int    # per shard (0 = no dense side anywhere)
+    n_dense_blocks: int    # per shard, incl. the shared zero block
+    df64: bool
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "PartitionedSELL":
+        return dataclasses.replace(
+            self,
+            data=self.data.astype(dtype),
+            dense_data=self.dense_data.astype(dtype),
+        )
+
+    def local_sell(self) -> SELLMatrix:
+        """Rebuild the shard-local SELLMatrix inside shard_map (leaves
+        there have leading dim 1)."""
+        n_blocks = self.rows_per_shard // ROWS_PER_BLOCK
+        has_dense = self.n_dense_chunks > 0
+        return SELLMatrix(
+            data=(self.data[0],),
+            cols=(self.cols[0],),
+            packed=(self.packed[0],),
+            packed_lo=(self.packed_lo[0],) if self.df64 else (),
+            bucket=(self.bucket[0],),
+            slab=(self.slab[0],),
+            dense_data=(self.dense_data[0],),
+            dense_lo=(self.dense_lo[0],) if self.df64 else (),
+            dense_bucket=(self.dense_bucket[0],) if has_dense else (),
+            dense_slab=(self.dense_slab[0],) if has_dense else (),
+            dense_vidx=(self.dense_vidx[0],) if has_dense else (),
+            n_rows=self.rows_per_shard,
+            n_cols=self.n_cols,
+            nnz=self.nnz,
+            W=self.W,
+            K=self.K,
+            parts=((self.n_chunks, 0, n_blocks),),
+            dense_parts=(
+                ((self.n_dense_chunks, 0, n_blocks),) if has_dense else ()
+            ),
+            n_rows_pad=self.rows_per_shard,
+            n_buckets=self.n_buckets,
+        )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("psell",),
+    meta_fields=(),
+)
+@dataclasses.dataclass(frozen=True)
+class PartitionedDF64Sell:
+    """Marker wrapper: the df64-packed PartitionedSELL serving as the
+    mixed scheme's fp64 outer operator (``solve_distributed`` splits b/x
+    into (hi, lo) pairs when it sees ``data_hi``; localizes to a
+    ``DF64Sell`` whose residual branch gathers + psums —
+    ``solver/gmres.py:restart_cycle_impl``)."""
+
+    psell: PartitionedSELL
+
+    @property
+    def data_hi(self):  # duck-type marker for the df64 cycle branch
+        return self.psell.packed
+
+
+def _csr_rows(rp, ci, v, lo, hi, n_rows_out, n_cols):
+    """Rows [lo, hi) of a host CSR as a lightweight namespace accepted by
+    ``sell_from_csr`` (trailing rows beyond hi-lo are empty)."""
+    s, e = int(rp[lo]), int(rp[hi])
+    rp_loc = (rp[lo:hi + 1] - s).astype(np.int64)
+    if n_rows_out > hi - lo:
+        rp_loc = np.concatenate(
+            [rp_loc, np.full(n_rows_out - (hi - lo), rp_loc[-1], np.int64)]
+        )
+    return SimpleNamespace(
+        row_ptr=rp_loc, col_idx=ci[s:e], vals=v[s:e],
+        n_rows=n_rows_out, n_cols=n_cols,
+    )
+
+
+def _empty_pack(n_blocks, W, K, dtype):
+    """Pack of an all-zero row block: G_BATCH coverage chunks per output
+    block (the kernel zero-initializes a block on first visit)."""
+    nc = n_blocks * G_BATCH
+    return SimpleNamespace(
+        data=(np.zeros((nc, K, C), dtype=dtype),),
+        cols=(np.zeros((nc, K, C), dtype=np.int32),),
+        packed=(np.zeros((nc, 2 * K, C), dtype=np.float32),),
+        packed_lo=(np.zeros((nc, K, C), dtype=np.float32),),
+        bucket=(np.zeros((nc,), dtype=np.int32),),
+        slab=(np.repeat(
+            np.arange(n_blocks, dtype=np.int32) * SLABS_PER_BLOCK, G_BATCH),),
+        dense_data=(np.zeros((1, W, C), dtype=dtype),),
+        dense_lo=(np.zeros((1, W, C), dtype=np.float32),),
+        dense_bucket=(), dense_slab=(), dense_vidx=(),
+        parts=((nc, 0, n_blocks),), dense_parts=(),
+    )
+
+
+def _pad_chunks(arrs, n_pad, last_slab=None):
+    """Append inert chunks: zeros, or repeats of ``last_slab`` for the
+    slab array (keeps the non-decreasing block order — the kernel only
+    re-zeros an output block when the block INDEX changes)."""
+    a = arrs[0]
+    cur = a.shape[0]
+    if cur == n_pad:
+        return np.asarray(a)
+    if last_slab is not None:
+        pad = np.full((n_pad - cur,) + a.shape[1:], last_slab, a.dtype)
+    else:
+        pad = np.zeros((n_pad - cur,) + a.shape[1:], a.dtype)
+    return np.concatenate([np.asarray(a), pad])
+
+
+def partition_sell(
+    A: CSRMatrix,
+    n_shards: int,
+    df64: bool = False,
+    dtype=np.float32,
+    W: int | None = None,
+    K: int | None = None,
+    max_vreg_per_nnz: float = 24.0,
+) -> PartitionedSELL | None:
+    """Partition A into per-shard SELL packs with shared (W, K).
+
+    Returns None when the global cost model refuses the pattern (same
+    gate as ``sell_from_csr``) or any shard's chunk list would need
+    multiple parts (> MAX_CHUNKS_PER_CALL chunks — larger than any
+    realistic per-shard slice).
+    """
+    n = A.n_rows
+    rows_per = -(-n // (n_shards * ROWS_PER_BLOCK)) * ROWS_PER_BLOCK
+    n_pad = rows_per * n_shards
+    n_blocks = rows_per // ROWS_PER_BLOCK
+
+    rp = np.asarray(A.row_ptr).astype(np.int64)
+    nnz = int(rp[-1])
+    if nnz == 0:
+        return None
+    ci = np.asarray(A.col_idx)[:nnz].astype(np.int64)
+    v = np.asarray(A.vals)[:nnz]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    # the group machinery requires (row, col) order (see sell_from_csr)
+    rc_key = rows * np.int64(n_pad) + ci
+    if not np.all(rc_key[1:] >= rc_key[:-1]):
+        order = np.argsort(rc_key, kind="stable")
+        rows, ci, v = rows[order], ci[order], v[order]
+        rp = np.concatenate(
+            [[0], np.cumsum(np.bincount(rows, minlength=n))]
+        ).astype(np.int64)
+    del rc_key
+
+    if W is None or K is None:
+        tuned = autotune_wk(rows, ci, n_pad, nnz, W, K, max_vreg_per_nnz)
+        if tuned is None:
+            return None
+        W, K = tuned
+
+    packs = []
+    for s in range(n_shards):
+        lo = s * rows_per
+        hi = min((s + 1) * rows_per, n)
+        if hi <= lo or rp[min(hi, n)] == rp[lo]:
+            sell = _empty_pack(n_blocks, W, K, np.dtype(dtype))
+        else:
+            local = _csr_rows(rp, ci, v, lo, hi, rows_per, n_pad)
+            sell = sell_from_csr(local, W=W, K=K, df64=df64, dtype=dtype,
+                                 host_arrays=True)
+            if sell is None or len(sell.parts) != 1:
+                return None
+            if sell.dense_parts and len(sell.dense_parts) != 1:
+                return None
+        # mutable per-shard snapshot (SELLMatrix is frozen)
+        packs.append(SimpleNamespace(
+            data=np.asarray(sell.data[0]),
+            cols=np.asarray(sell.cols[0]),
+            packed=np.asarray(sell.packed[0]),
+            packed_lo=(np.asarray(sell.packed_lo[0]) if sell.packed_lo
+                       else np.zeros((0, K, C), np.float32)),
+            bucket=np.asarray(sell.bucket[0]),
+            slab=np.asarray(sell.slab[0]),
+            dense_data=np.asarray(sell.dense_data[0], dtype=dtype),
+            dense_lo=(np.asarray(sell.dense_lo[0], np.float32)
+                      if sell.dense_lo else None),
+            dense_bucket=(np.asarray(sell.dense_bucket[0])
+                          if sell.dense_parts else None),
+            dense_slab=(np.asarray(sell.dense_slab[0])
+                        if sell.dense_parts else None),
+            dense_vidx=(np.asarray(sell.dense_vidx[0])
+                        if sell.dense_parts else None),
+            n_chunks=sell.parts[0][0],
+            n_dense=sell.dense_parts[0][0] if sell.dense_parts else 0,
+        ))
+
+    # --- pad chunk lists to the shard maximum ---
+    max_nc = max(p.n_chunks for p in packs)
+    has_dense = any(p.n_dense for p in packs)
+    if has_dense:
+        # shards without a dense side need per-block coverage chunks
+        # (every output block of the dense call must be visited once so
+        # the revisited block is zero-initialized)
+        cov_slab = np.arange(n_blocks, dtype=np.int32) * SLABS_PER_BLOCK
+        for p in packs:
+            if not p.n_dense:
+                p.dense_bucket = np.zeros((n_blocks,), np.int32)
+                p.dense_slab = cov_slab
+                p.dense_vidx = np.zeros((n_blocks,), np.int32)
+                p.n_dense = n_blocks
+        max_ndc = max(p.n_dense for p in packs)
+        max_ndb = max(p.dense_data.shape[0] for p in packs)
+    else:
+        max_ndc, max_ndb = 0, 1
+
+    def stack(field, n_pad_chunks, slab_src=None):
+        out = []
+        for p in packs:
+            a = getattr(p, field)
+            last = (int(getattr(p, slab_src)[-1])
+                    if slab_src is not None else None)
+            out.append(_pad_chunks((a,), n_pad_chunks, last_slab=last))
+        return np.stack(out)
+
+    data = stack("data", max_nc)
+    cols = stack("cols", max_nc)
+    packed = stack("packed", max_nc)
+    packed_lo = (stack("packed_lo", max_nc) if df64
+                 else np.zeros((n_shards, 0, K, C), np.float32))
+    bucket = stack("bucket", max_nc)
+    slab = stack("slab", max_nc, slab_src="slab")
+
+    if has_dense:
+        dense_bucket = stack("dense_bucket", max_ndc)
+        dense_slab = stack("dense_slab", max_ndc, slab_src="dense_slab")
+        dense_vidx = stack("dense_vidx", max_ndc)
+    else:
+        dense_bucket = np.zeros((n_shards, 0), np.int32)
+        dense_slab = np.zeros((n_shards, 0), np.int32)
+        dense_vidx = np.zeros((n_shards, 0), np.int32)
+
+    def pad_blocks(a, target):
+        if a.shape[0] >= target:
+            return a
+        return np.concatenate(
+            [a, np.zeros((target - a.shape[0],) + a.shape[1:], a.dtype)]
+        )
+
+    dense_data = np.stack([pad_blocks(p.dense_data, max_ndb) for p in packs])
+    if df64:
+        dense_lo = np.stack([
+            pad_blocks(
+                p.dense_lo if p.dense_lo is not None
+                else np.zeros((1, W, C), np.float32),
+                max_ndb,
+            )
+            for p in packs
+        ])
+    else:
+        # placeholder leaf, never read when df64 is False
+        dense_lo = np.zeros((n_shards, 1, 1, 1), np.float32)
+
+    return PartitionedSELL(
+        data=data,
+        cols=cols,
+        packed=packed,
+        packed_lo=packed_lo,
+        bucket=bucket,
+        slab=slab,
+        dense_data=dense_data,
+        dense_lo=dense_lo,
+        dense_bucket=dense_bucket,
+        dense_slab=dense_slab,
+        dense_vidx=dense_vidx,
+        n_shards=n_shards,
+        rows_per_shard=rows_per,
+        n_rows=n,
+        n_cols=n_pad,
+        nnz=nnz,
+        W=W,
+        K=K,
+        n_buckets=max(1, -(-n_pad // W)),
+        n_chunks=max_nc,
+        n_dense_chunks=max_ndc,
+        n_dense_blocks=max_ndb,
+        df64=df64,
+    )

@@ -293,6 +293,39 @@ def test_policy_unrolled_matches_rolled(policy_kw):
                                        hr["arnoldi_final"], rtol=1e-10)
 
 
+def test_repeat_policy_divergence_is_config_inherent():
+    """The diverging ``repeat(1e-2)`` bench row (BASELINE.md round-2 policy
+    table) must be a property of the CONFIG, not an artifact of the TPU
+    unrolled post-hoc-trigger path: the rolled while_loop and the forced
+    unrolled path must abort identically (round-2 VERDICT weak item 7).
+
+    conv-diff nx=128 reproduces the bench operator's behavior: the first
+    cycle's rtol=1e-2 trigger locks the repeat policy's restart length to a
+    small k and GMRES(k) stagnates (IterUtil.hpp:84-137 semantics)."""
+    import gmres_tpu.solver.gmres as gmres_mod
+
+    A = convection_diffusion_2d(128, beta=2.0)
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig.from_flags(
+        mode="mixed", orth="cgsr", prec="identity",
+        rlen=30, tol=1e-8, max_restarts=80, rtol=1e-2, repeat_iter=True,
+    )
+    res_rolled = solve(A, b, cfg, record_history=True)
+    gmres_mod._FORCE_POLICY_UNROLL = True
+    try:
+        res_unrolled = solve(A, b, cfg, record_history=True)
+    finally:
+        gmres_mod._FORCE_POLICY_UNROLL = False
+    # both paths diverge (abort at max_restarts), with identical histories
+    assert res_rolled.aborted and not res_rolled.converged
+    assert res_unrolled.aborted and not res_unrolled.converged
+    assert res_unrolled.restarts == res_rolled.restarts == 80
+    assert res_unrolled.total_iters == res_rolled.total_iters
+    assert [h["k"] for h in res_unrolled.history] == \
+        [h["k"] for h in res_rolled.history]
+
+
 def test_fixed_unrolled_matches_rolled():
     """The FIXED policy's unrolled fori path (what runs on TPU) must match
     the rolled CPU loop exactly (VERDICT round-1 weak item 7)."""
