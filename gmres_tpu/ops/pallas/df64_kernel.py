@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -385,7 +386,19 @@ class DF64HaloDia:
 
     @staticmethod
     def from_halo(H) -> "DF64HaloDia":
-        dh, dl = split_f64(jnp.asarray(H.data, jnp.float64))
+        from gmres_tpu.parallel.partition import ShardStack
+
+        if isinstance(H.data, ShardStack):
+            # per-host partitioned data: split each owned piece on the host
+            hi_p, lo_p = {}, {}
+            for s, piece in H.data.pieces.items():
+                p64 = np.asarray(piece, dtype=np.float64)
+                hi_p[s] = p64.astype(np.float32)
+                lo_p[s] = (p64 - hi_p[s].astype(np.float64)).astype(np.float32)
+            dh = ShardStack(H.data.shape, np.dtype(np.float32), hi_p)
+            dl = ShardStack(H.data.shape, np.dtype(np.float32), lo_p)
+        else:
+            dh, dl = split_f64(jnp.asarray(H.data, jnp.float64))
         return DF64HaloDia(
             data_hi=dh,
             data_lo=dl,

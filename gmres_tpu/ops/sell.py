@@ -227,11 +227,16 @@ def _plan_parts(chunk_blocks: np.ndarray, n_blocks_total: int):
 
 
 def autotune_wk(rows, ci, n_cols, nnz, W=None, K=None,
-                max_vreg_per_nnz: float = 24.0):
+                max_vreg_per_nnz: float = 24.0, chunk_counter=None):
     """Pick (W, K) minimizing the per-chunk cost model; ``None`` when the
     estimated work per nonzero exceeds the gate (the XLA gather fallback is
     then no worse).  A caller-supplied W or K is held fixed; entries must
     already be (row, col)-sorted.
+
+    ``chunk_counter(W, K) -> n_chunks`` overrides the default global
+    ``_chunk_stats`` scan — the per-host distributed partitioner passes a
+    range-at-a-time counter so no O(global nnz) index array is ever
+    materialized (``rows``/``ci`` may then be None).
 
     Empirical per-chunk cost in ~ns (scripts/probe_sell_cost.py): the
     kernel is DMA-transaction + MXU-matvec bound; the VPU densify hides
@@ -240,12 +245,14 @@ def autotune_wk(rows, ci, n_cols, nnz, W=None, K=None,
     DMA.  Shared by ``sell_from_csr`` (single-chip) and
     ``parallel/sell_dist.partition_sell`` (same (W, K) across all shards).
     """
+    if chunk_counter is None:
+        chunk_counter = lambda Wc, Kc: _chunk_stats(rows, ci, n_cols, Wc, Kc)
     W_cands = (W,) if W is not None else (128, 256, 512, 1024)
     K_cands = (K,) if K is not None else (4, 8, 16)
     best = None
     for Wc in W_cands:
         for Kc in K_cands:
-            n_chunks = _chunk_stats(rows, ci, n_cols, Wc, Kc)
+            n_chunks = chunk_counter(Wc, Kc)
             slot_bytes = 2 * Kc * C * 4
             cost = n_chunks * (160 + Wc // 4 + slot_bytes // 80)
             if best is None or cost < best[0]:

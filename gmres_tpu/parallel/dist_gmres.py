@@ -90,20 +90,22 @@ class DistILUJacobiPrec:
     steps: int
 
 
-def _partition_matrix(A: CSRMatrix, n_shards: int, use_halo: bool):
+def _partition_matrix(A: CSRMatrix, n_shards: int, use_halo: bool,
+                      owned=None):
     """Halo partition when the pattern allows (neighbor-local coupling),
-    else the allgather row partition."""
+    else the allgather row partition.  ``owned``: per-host mode — only
+    those shards' arrays are materialized (multi-host, SURVEY.md §5.8)."""
     if use_halo:
         from gmres_tpu.parallel.halo import partition_halo
 
-        H = partition_halo(A, n_shards)
+        H = partition_halo(A, n_shards, owned=owned)
         if H is not None:
             return H
-    return partition_rows(A, n_shards)
+    return partition_rows(A, n_shards, owned=owned)
 
 
 def _partition_prec(M, n_shards: int, use_halo: bool = True,
-                    rows_per: int | None = None):
+                    rows_per: int | None = None, owned=None):
     """``rows_per`` (from a SELL-partitioned operator) forces every piece
     onto the same ROWS_PER_BLOCK-aligned shard height."""
     if isinstance(M, IdentityPrec):
@@ -119,11 +121,13 @@ def _partition_prec(M, n_shards: int, use_halo: bool = True,
         n = np.asarray(M.inv_diag).shape[0]
         pad[n:] = 1.0
         if rows_per is not None:
-            lower = partition_rows(M.lower, n_shards, rows_per=rows_per)
-            upper = partition_rows(M.upper, n_shards, rows_per=rows_per)
+            lower = partition_rows(M.lower, n_shards, rows_per=rows_per,
+                                   owned=owned)
+            upper = partition_rows(M.upper, n_shards, rows_per=rows_per,
+                                   owned=owned)
         else:
-            lower = _partition_matrix(M.lower, n_shards, use_halo)
-            upper = _partition_matrix(M.upper, n_shards, use_halo)
+            lower = _partition_matrix(M.lower, n_shards, use_halo, owned)
+            upper = _partition_matrix(M.upper, n_shards, use_halo, owned)
         return DistILUJacobiPrec(
             lower=lower,
             upper=upper,
@@ -237,9 +241,12 @@ def solve_distributed(
     ``multihost=True`` runs over a process-spanning mesh (SURVEY.md §5.8):
     call ``gmres_tpu.parallel.multihost.initialize`` (or
     ``jax.distributed.initialize``) first, then invoke this with identical
-    arguments on EVERY process.  Shards are materialized per host via
-    ``jax.make_array_from_callback`` — each process uploads only the row
-    blocks its local devices own — and the driver's per-chunk fetch reads
+    arguments on EVERY process.  Each process PARTITIONS and uploads only
+    the row blocks its local devices own (``ShardStack`` pieces served
+    through ``jax.make_array_from_callback``; partition metadata comes
+    from range-at-a-time structure scans, so peak host memory for the
+    partitioned forms is ~global/P rather than P x global) and the
+    driver's per-chunk fetch reads
     only replicated scalars, so all processes run the same host loop in
     lockstep.  ``result.x`` is then a global (process-spanning) array.
     Validated under 2 simulated CPU processes in tests/test_multihost.py.
@@ -263,17 +270,38 @@ def solve_distributed(
                  cfg.jacobi_steps, cfg.use_pallas, force_df64, multihost,
                  force_sell)
 
+    # per-host partitioning (SURVEY.md §5.8): over a process-spanning mesh,
+    # each process materializes ONLY the shard blocks its local devices
+    # own (ShardStack leaves) — partitioning an O(nnz) operator globally
+    # on every host is a P x global host-RAM wall at pod scale
+    owned = None
+    if multihost:
+        pid = jax.process_index()
+        owned = frozenset(
+            s for s, d in enumerate(mesh.devices.flat)
+            if d.process_index == pid
+        )
+
     t1 = time.perf_counter()
     # one-time norms on the unpartitioned operands (single-device, O(n))
     b_arr = jnp.asarray(np.asarray(b), dtype=out_dt)
     b_norm = nrm2(b_arr).astype(_f64)
     minvb_norm = nrm2(typesafe_apply(M, b_arr.astype(in_dt))).astype(_f64)
-    a_norm = nrm2(A_in.vals).astype(_f64)
+    if multihost:
+        # host-side ||A||_F: nrm2 on device would upload the full nnz-long
+        # vals array to every process's device 0
+        av = np.asarray(A_in.vals, dtype=np.float64)
+        a_norm = jnp.asarray(np.sqrt(np.dot(av, av)), dtype=_f64)
+    else:
+        a_norm = nrm2(A_in.vals).astype(_f64)
 
     # partition + shard (halo exchange when the pattern is neighbor-local,
     # allgather otherwise; cfg.auto_format opts out).  Partitioning is
-    # host-side numpy over the whole operator (seconds at 1M rows) — cache
-    # the staged result per matrix object like prepare_operators does.
+    # host-side numpy — cached per matrix object like prepare_operators.
+    # Single-host: all shards are stacked locally.  Multi-host: ``owned``
+    # limits materialization to this process's shards (ShardStack); the
+    # metadata passes scan one row range at a time, so peak host memory is
+    # ~global/P (+halo), not P x global.
     cached = _dist_stage_cache_get(A, stage_key)
     wrap_df64_sell = False
     if cached is None:
@@ -299,7 +327,8 @@ def solve_distributed(
                 want_df64 = out_dt == jnp.float64 and (
                     jax.default_backend() == "tpu" or force_df64
                 )
-                psell = partition_sell(A, n_shards, df64=want_df64)
+                psell = partition_sell(A, n_shards, df64=want_df64,
+                                       owned=owned)
         if psell is not None:
             Ai_p = psell
             rows_per = psell.rows_per_shard
@@ -311,16 +340,24 @@ def solve_distributed(
             else:
                 # fp64 outer residual keeps the CSR allgather (runs once
                 # per restart), on SELL's ROWS_PER_BLOCK-aligned shards
-                Ao_p = partition_rows(A_out, n_shards, rows_per=rows_per)
+                Ao_p = partition_rows(A_out, n_shards, rows_per=rows_per,
+                                      owned=owned)
             M_p = _partition_prec(M, n_shards, use_halo=False,
-                                  rows_per=rows_per)
+                                  rows_per=rows_per, owned=owned)
         else:
-            Ao_p = _partition_matrix(A_out, n_shards, cfg.auto_format)
+            Ao_p = _partition_matrix(A_out, n_shards, cfg.auto_format, owned)
             Ai_p = Ao_p if A_in is A_out else _partition_matrix(
-                A_in, n_shards, cfg.auto_format)
-            M_p = _partition_prec(M, n_shards, cfg.auto_format)
+                A_in, n_shards, cfg.auto_format, owned)
+            M_p = _partition_prec(M, n_shards, cfg.auto_format, owned=owned)
+        from gmres_tpu.parallel.partition import local_partition_nbytes
+
+        partition_local_bytes = (
+            local_partition_nbytes((Ao_p, M_p))
+            + (local_partition_nbytes(Ai_p) if Ai_p is not Ao_p else 0)
+        )
     else:
         Ao_p, Ai_p, M_p = cached
+        partition_local_bytes = None
 
     # Distributed double-float outer: when the fp64 operator halo-partitions
     # into DIA form, split it (and b, x) into two-fp32 pairs so the outer
@@ -344,9 +381,19 @@ def solve_distributed(
 
     shard0 = NamedSharding(mesh, P(AXIS))
 
+    from gmres_tpu.parallel.partition import ShardStack
+
     def _to_device(a):
         if isinstance(a, jax.Array) and a.sharding == shard0:
             return a  # already staged on this mesh
+        if isinstance(a, ShardStack):
+            # per-host partitioned leaf: the callback serves shard s from
+            # this process's owned piece (never asked for non-owned ones)
+            def cb(idx, a=a):
+                s = idx[0].start if idx[0].start is not None else 0
+                return a.pieces[s][None]
+
+            return jax.make_array_from_callback(a.shape, shard0, cb)
         a = np.asarray(a)
         if multihost:
             # per-host shard materialization: the callback is only invoked
@@ -398,6 +445,10 @@ def solve_distributed(
 
     result = drive_restarts(chunk_call, x, dist_cfg, record_history, progress)
     result.prec_seconds = prec_seconds
+    # host bytes this process materialized for the partitioned operator
+    # forms (None when served from the staging cache); the multi-host test
+    # asserts this is ~global/P, not P x global
+    result.partition_local_bytes = partition_local_bytes
     result.solve_seconds = time.perf_counter() - t1
     if df64_active:
         result.x = jax.jit(merge_f64)(*result.x)

@@ -93,12 +93,22 @@ def _round_up(v: int, mult: int = 128) -> int:
     return max(mult, -(-v // mult) * mult)
 
 
-def partition_halo(A: CSRMatrix, n_shards: int):
+def partition_halo(A: CSRMatrix, n_shards: int, owned=None):
     """Partition A for halo exchange.  Returns HaloDIA (banded), HaloCSR
-    (irregular but neighbor-local), or None (fall back to allgather)."""
+    (irregular but neighbor-local), or None (fall back to allgather).
+
+    ``owned`` (iterable of shard ids): per-host mode — materialize data
+    only for those shards (``ShardStack`` leaves).  Partitioning metadata
+    (diagonal offsets, halo widths, acceptance gates) is computed from
+    range-at-a-time structure scans whose transient footprint is
+    O(global/P), so every process derives identical metadata from the
+    shared CSR structure with no communication."""
     n = A.n_rows
     n_pad = padded_size(n, n_shards)
     r = n_pad // n_shards
+
+    if owned is not None:
+        return _partition_halo_owned(A, n_shards, owned, n_pad, r)
 
     dia = from_csr(A)
     if dia is not None:
@@ -150,6 +160,120 @@ def partition_halo(A: CSRMatrix, n_shards: int):
         halo_left=hl,
         halo_right=hr,
         nnz=A.nnz,
+    )
+
+
+def _partition_halo_owned(A: CSRMatrix, n_shards: int, owned, n_pad: int,
+                          r: int):
+    """Per-host ``partition_halo``: same acceptance gates and results as
+    the global path (``ops/dia.py:from_csr`` fill/diag-count gates, halo
+    width bounds), but value arrays are built only for ``owned`` shards
+    and every metadata pass scans one shard's row range at a time."""
+    from gmres_tpu.parallel.partition import ShardStack, partition_rows
+
+    owned = sorted(set(owned))
+    n = A.n_rows
+    rp = np.asarray(A.row_ptr).astype(np.int64)
+    nnz = int(rp[-1])
+    if nnz == 0:
+        return None
+    ci = np.asarray(A.col_idx)
+    v = np.asarray(A.vals)
+
+    def ranges():
+        for s in range(n_shards):
+            lo, hi = s * r, min((s + 1) * r, n)
+            if hi <= lo:
+                continue
+            a, b = int(rp[lo]), int(rp[hi])
+            if b <= a:
+                continue
+            yield s, lo, hi, a, b
+
+    # --- pass 1: global diagonal-offset span (O(global/P) transient) ---
+    off_min, off_max = None, None
+    for s, lo, hi, a, b in ranges():
+        rows_s = np.repeat(np.arange(lo, hi, dtype=np.int64),
+                           np.diff(rp[lo:hi + 1]))
+        offs_s = ci[a:b].astype(np.int64) - rows_s
+        mn, mx = int(offs_s.min()), int(offs_s.max())
+        off_min = mn if off_min is None else min(off_min, mn)
+        off_max = mx if off_max is None else max(off_max, mx)
+
+    # --- pass 2: presence bitmap over the span (same uniquing as from_csr) ---
+    span = off_max - off_min + 1
+    present = np.zeros(span, dtype=bool)
+    for s, lo, hi, a, b in ranges():
+        rows_s = np.repeat(np.arange(lo, hi, dtype=np.int64),
+                           np.diff(rp[lo:hi + 1]))
+        present[ci[a:b].astype(np.int64) - rows_s - off_min] = True
+    uniq = np.flatnonzero(present) + off_min
+    D = uniq.shape[0]
+
+    # from_csr's profitability gate (max_fill=3.0, max_diags=256)
+    if D <= 256 and D * n <= 3.0 * max(nnz, 1):
+        hl = max(0, -int(uniq.min()))
+        hr = max(0, int(uniq.max()))
+        if hl <= r and hr <= r:
+            lookup = np.zeros(span, dtype=np.int64)
+            lookup[uniq - off_min] = np.arange(D)
+            pieces = {}
+            by_shard = {s: (lo, hi, a, b) for s, lo, hi, a, b in ranges()}
+            for s in owned:
+                if s not in by_shard:
+                    pieces[s] = np.zeros((D, r), dtype=v.dtype)
+                    continue
+                lo, hi, a, b = by_shard[s]
+                rows_s = np.repeat(np.arange(lo, hi, dtype=np.int64),
+                                   np.diff(rp[lo:hi + 1]))
+                d_idx = lookup[ci[a:b].astype(np.int64) - rows_s - off_min]
+                pieces[s] = np.bincount(
+                    d_idx * r + (rows_s - lo), weights=v[a:b],
+                    minlength=D * r,
+                ).reshape(D, r).astype(v.dtype)
+            return HaloDIA(
+                data=ShardStack((n_shards, D, r), np.dtype(v.dtype), pieces),
+                offsets=tuple(int(o) for o in uniq),
+                n_shards=n_shards,
+                rows_per_shard=r,
+                halo_left=min(_round_up(hl), r) if hl else 0,
+                halo_right=min(_round_up(hr), r) if hr else 0,
+                nnz=nnz,
+            )
+
+    # --- irregular: rebased CSR if all columns stay neighbor-local ---
+    hl = hr = 0
+    any_active = False
+    for s, lo, hi, a, b in ranges():
+        active = v[a:b] != 0
+        if not active.any():
+            continue
+        any_active = True
+        rel = ci[a:b].astype(np.int64)[active] - s * r
+        hl = max(hl, int(np.maximum(0, -rel.min())))
+        hr = max(hr, int(np.maximum(0, rel.max() - (r - 1))))
+    if not any_active or hl > r or hr > r:
+        return None
+    hl = min(_round_up(hl), r) if hl else 0
+    hr = min(_round_up(hr), r) if hr else 0
+
+    part = partition_rows(A, n_shards, owned=owned)
+    col_pieces = {}
+    for s in owned:
+        cols_s = part.col_idx.pieces[s].astype(np.int64)
+        rebased = (cols_s - s * r + hl).astype(np.int32)
+        rebased[part.vals.pieces[s] == 0] = 0
+        col_pieces[s] = rebased
+    return HaloCSR(
+        row_ptr=part.row_ptr,
+        col_idx=ShardStack(part.col_idx.shape, np.dtype(np.int32), col_pieces),
+        row_ids=part.row_ids,
+        vals=part.vals,
+        n_shards=n_shards,
+        rows_per_shard=r,
+        halo_left=hl,
+        halo_right=hr,
+        nnz=nnz,
     )
 
 

@@ -26,6 +26,52 @@ import numpy as np
 from gmres_tpu.sparse import CSRMatrix
 
 
+@dataclasses.dataclass
+class ShardStack:
+    """Host-side stand-in for a ``(P, ...)``-stacked numpy array that holds
+    only the shards THIS process owns (multi-host per-host partitioning,
+    SURVEY.md §5.8: a process must not materialize every shard's data —
+    that is a host-RAM wall of ``P x global`` at pod scale).
+
+    ``pieces[s]`` is shard ``s``'s slice WITHOUT the leading shard dim;
+    ``shape`` is the global stacked shape.  Uploading goes through
+    ``jax.make_array_from_callback`` (``dist_gmres._to_device``), which
+    only ever asks for the shards this process's devices address.
+    """
+
+    shape: tuple
+    dtype: np.dtype
+    pieces: dict  # shard id -> np.ndarray of shape ``shape[1:]``
+
+    def astype(self, dtype) -> "ShardStack":
+        dt = np.dtype(dtype)
+        if dt == self.dtype:
+            return self
+        return ShardStack(
+            shape=self.shape, dtype=dt,
+            pieces={s: p.astype(dt) for s, p in self.pieces.items()},
+        )
+
+    @property
+    def local_nbytes(self) -> int:
+        return sum(p.nbytes for p in self.pieces.values())
+
+
+def local_partition_nbytes(tree) -> int:
+    """Host bytes this process materialized for a partitioned operator:
+    ShardStack leaves count only their owned pieces; plain arrays count in
+    full (the single-host path stacks everything)."""
+    total = 0
+    for leaf in jax.tree.leaves(
+        tree, is_leaf=lambda x: isinstance(x, ShardStack)
+    ):
+        if isinstance(leaf, ShardStack):
+            total += leaf.local_nbytes
+        elif isinstance(leaf, (np.ndarray, jax.Array)):
+            total += leaf.nbytes
+    return total
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("row_ptr", "col_idx", "row_ids", "vals"),
@@ -84,11 +130,18 @@ def pad_vector(v: np.ndarray, n_shards: int,
 
 
 def partition_rows(A: CSRMatrix, n_shards: int, pad_multiple: int = 1024,
-                   rows_per: int | None = None) -> PartitionedCSR:
+                   rows_per: int | None = None,
+                   owned=None) -> PartitionedCSR:
     """Split A into n_shards contiguous row blocks with identical shapes.
     ``rows_per`` overrides the block height (must cover ceil(n/P)) so
     mixed-format partitions (e.g. CSR factors alongside a SELL operator)
-    agree on shard shapes."""
+    agree on shard shapes.
+
+    ``owned`` (an iterable of shard ids): materialize value/index arrays
+    ONLY for those shards, returning ``ShardStack`` leaves — the per-host
+    partitioning mode for multi-host meshes.  The padding width K and all
+    other metadata come from O(n) ``row_ptr`` scans, so they agree across
+    processes without communication."""
     n = A.n_rows
     if rows_per is not None:
         assert rows_per * n_shards >= n, (rows_per, n_shards, n)
@@ -106,30 +159,43 @@ def partition_rows(A: CSRMatrix, n_shards: int, pad_multiple: int = 1024,
     rp_pad = np.concatenate([rp, np.full(n_pad - n, rp[-1], dtype=np.int64)])
 
     starts = [rp_pad[s * rows_per] for s in range(n_shards)]
-    ends = [rp_pad[(s + 1) * rows_per] if s < n_shards - 1 else nnz for s in range(n_shards)]
-    # note: last shard's end is nnz == rp_pad[n_pad]
     ends = [int(rp_pad[min((s + 1) * rows_per, n_pad)]) for s in range(n_shards)]
     local_nnz = [int(e - s0) for s0, e in zip(starts, ends)]
     K = max(pad_multiple, -(-max(local_nnz) // pad_multiple) * pad_multiple)
 
-    row_ptr_stack = np.zeros((n_shards, rows_per + 1), dtype=np.int32)
-    col_stack = np.zeros((n_shards, K), dtype=np.int32)
-    rid_stack = np.full((n_shards, K), rows_per - 1, dtype=np.int32)
-    val_stack = np.zeros((n_shards, K), dtype=v.dtype)
-
-    for s in range(n_shards):
+    fill = sorted(owned) if owned is not None else range(n_shards)
+    rptr_pieces, col_pieces, rid_pieces, val_pieces = {}, {}, {}, {}
+    for s in fill:
         lo, hi = int(starts[s]), int(ends[s])
         cnt = hi - lo
-        row_ptr_stack[s] = (rp_pad[s * rows_per : (s + 1) * rows_per + 1] - lo).astype(
+        rptr_s = (rp_pad[s * rows_per : (s + 1) * rows_per + 1] - lo).astype(
             np.int32
         )
-        col_stack[s, :cnt] = ci[lo:hi]
-        val_stack[s, :cnt] = v[lo:hi]
-        local_rows = np.repeat(
+        col_s = np.zeros((K,), dtype=np.int32)
+        rid_s = np.full((K,), rows_per - 1, dtype=np.int32)
+        val_s = np.zeros((K,), dtype=v.dtype)
+        col_s[:cnt] = ci[lo:hi]
+        val_s[:cnt] = v[lo:hi]
+        rid_s[:cnt] = np.repeat(
             np.arange(rows_per, dtype=np.int32),
             np.diff(rp_pad[s * rows_per : (s + 1) * rows_per + 1]).astype(np.int64),
         )
-        rid_stack[s, :cnt] = local_rows
+        rptr_pieces[s] = rptr_s
+        col_pieces[s] = col_s
+        rid_pieces[s] = rid_s
+        val_pieces[s] = val_s
+
+    if owned is not None:
+        row_ptr_stack = ShardStack((n_shards, rows_per + 1), np.dtype(np.int32),
+                                   rptr_pieces)
+        col_stack = ShardStack((n_shards, K), np.dtype(np.int32), col_pieces)
+        rid_stack = ShardStack((n_shards, K), np.dtype(np.int32), rid_pieces)
+        val_stack = ShardStack((n_shards, K), np.dtype(v.dtype), val_pieces)
+    else:
+        row_ptr_stack = np.stack([rptr_pieces[s] for s in range(n_shards)])
+        col_stack = np.stack([col_pieces[s] for s in range(n_shards)])
+        rid_stack = np.stack([rid_pieces[s] for s in range(n_shards)])
+        val_stack = np.stack([val_pieces[s] for s in range(n_shards)])
 
     return PartitionedCSR(
         row_ptr=row_ptr_stack,

@@ -207,6 +207,7 @@ def partition_sell(
     W: int | None = None,
     K: int | None = None,
     max_vreg_per_nnz: float = 24.0,
+    owned=None,
 ) -> PartitionedSELL | None:
     """Partition A into per-shard SELL packs with shared (W, K).
 
@@ -214,6 +215,14 @@ def partition_sell(
     gate as ``sell_from_csr``) or any shard's chunk list would need
     multiple parts (> MAX_CHUNKS_PER_CALL chunks — larger than any
     realistic per-shard slice).
+
+    ``owned`` (iterable of shard ids): per-host mode — only those shards'
+    pack arrays are RETAINED (``parallel/partition.ShardStack`` leaves).
+    Non-owned shards are still packed one at a time to derive the shared
+    padding metadata (chunk/dense-block maxima must agree across
+    processes), but each transient pack is dropped immediately, so peak
+    host memory stays ~(owned + 1)/P of the global pack instead of P/P.
+    The (W, K) autotune likewise scans one shard's structure at a time.
     """
     n = A.n_rows
     rows_per = -(-n // (n_shards * ROWS_PER_BLOCK)) * ROWS_PER_BLOCK
@@ -224,101 +233,185 @@ def partition_sell(
     nnz = int(rp[-1])
     if nnz == 0:
         return None
-    ci = np.asarray(A.col_idx)[:nnz].astype(np.int64)
-    v = np.asarray(A.vals)[:nnz]
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
-    # the group machinery requires (row, col) order (see sell_from_csr)
-    rc_key = rows * np.int64(n_pad) + ci
-    if not np.all(rc_key[1:] >= rc_key[:-1]):
-        order = np.argsort(rc_key, kind="stable")
-        rows, ci, v = rows[order], ci[order], v[order]
-        rp = np.concatenate(
-            [[0], np.cumsum(np.bincount(rows, minlength=n))]
-        ).astype(np.int64)
-    del rc_key
 
-    if W is None or K is None:
-        tuned = autotune_wk(rows, ci, n_pad, nnz, W, K, max_vreg_per_nnz)
-        if tuned is None:
-            return None
-        W, K = tuned
+    if owned is None:
+        ci = np.asarray(A.col_idx)[:nnz].astype(np.int64)
+        v = np.asarray(A.vals)[:nnz]
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+        # the group machinery requires (row, col) order (see sell_from_csr)
+        rc_key = rows * np.int64(n_pad) + ci
+        if not np.all(rc_key[1:] >= rc_key[:-1]):
+            order = np.argsort(rc_key, kind="stable")
+            rows, ci, v = rows[order], ci[order], v[order]
+            rp = np.concatenate(
+                [[0], np.cumsum(np.bincount(rows, minlength=n))]
+            ).astype(np.int64)
+        del rc_key
 
-    packs = []
+        if W is None or K is None:
+            tuned = autotune_wk(rows, ci, n_pad, nnz, W, K, max_vreg_per_nnz)
+            if tuned is None:
+                return None
+            W, K = tuned
+
+        def local_csr(s):
+            lo = s * rows_per
+            hi = min((s + 1) * rows_per, n)
+            if hi <= lo or rp[hi] == rp[lo]:
+                return None
+            return _csr_rows(rp, ci, v, lo, hi, rows_per, n_pad)
+    else:
+        owned = sorted(set(owned))
+        ci_raw = np.asarray(A.col_idx)
+        v_raw = np.asarray(A.vals)
+
+        def local_csr(s):
+            """Shard s's rows as a sorted local CSR (O(global/P) transient;
+            per-range sorting replaces the global path's one-shot sort)."""
+            lo = s * rows_per
+            hi = min((s + 1) * rows_per, n)
+            if hi <= lo or rp[hi] == rp[lo]:
+                return None
+            a, b = int(rp[lo]), int(rp[hi])
+            rows_l = np.repeat(
+                np.arange(hi - lo, dtype=np.int64), np.diff(rp[lo:hi + 1])
+            )
+            ci_l = ci_raw[a:b].astype(np.int64)
+            v_l = v_raw[a:b]
+            key = rows_l * np.int64(n_pad) + ci_l
+            if not np.all(key[1:] >= key[:-1]):
+                order = np.argsort(key, kind="stable")
+                rows_l, ci_l, v_l = rows_l[order], ci_l[order], v_l[order]
+            rp_l = np.concatenate(
+                [[0], np.cumsum(np.bincount(rows_l, minlength=rows_per))]
+            ).astype(np.int64)
+            return SimpleNamespace(
+                row_ptr=rp_l, col_idx=ci_l, vals=v_l,
+                n_rows=rows_per, n_cols=n_pad, _rows=rows_l,
+            )
+
+        if W is None or K is None:
+            from gmres_tpu.ops.sell import _chunk_stats
+
+            def counter(Wc, Kc):
+                total = 0
+                for s in range(n_shards):
+                    loc = local_csr(s)
+                    if loc is None:
+                        continue
+                    total += _chunk_stats(loc._rows, loc.col_idx, n_pad,
+                                          Wc, Kc)
+                return total
+
+            tuned = autotune_wk(None, None, n_pad, nnz, W, K,
+                                max_vreg_per_nnz, chunk_counter=counter)
+            if tuned is None:
+                return None
+            W, K = tuned
+
+    metas = []   # per shard: (n_chunks, n_dense, n_dense_blocks)
+    packs = {}   # shard -> retained snapshot (all shards when owned=None)
+    retain = set(range(n_shards)) if owned is None else set(owned)
     for s in range(n_shards):
-        lo = s * rows_per
-        hi = min((s + 1) * rows_per, n)
-        if hi <= lo or rp[min(hi, n)] == rp[lo]:
-            sell = _empty_pack(n_blocks, W, K, np.dtype(dtype))
+        local = local_csr(s)
+        if local is None:
+            if s in retain:
+                sell = _empty_pack(n_blocks, W, K, np.dtype(dtype))
+            else:
+                metas.append(SimpleNamespace(
+                    n_chunks=n_blocks * G_BATCH, n_dense=0, ndb=1))
+                continue
         else:
-            local = _csr_rows(rp, ci, v, lo, hi, rows_per, n_pad)
             sell = sell_from_csr(local, W=W, K=K, df64=df64, dtype=dtype,
                                  host_arrays=True)
             if sell is None or len(sell.parts) != 1:
                 return None
             if sell.dense_parts and len(sell.dense_parts) != 1:
                 return None
-        # mutable per-shard snapshot (SELLMatrix is frozen)
-        packs.append(SimpleNamespace(
-            data=np.asarray(sell.data[0]),
-            cols=np.asarray(sell.cols[0]),
-            packed=np.asarray(sell.packed[0]),
-            packed_lo=(np.asarray(sell.packed_lo[0]) if sell.packed_lo
-                       else np.zeros((0, K, C), np.float32)),
-            bucket=np.asarray(sell.bucket[0]),
-            slab=np.asarray(sell.slab[0]),
-            dense_data=np.asarray(sell.dense_data[0], dtype=dtype),
-            dense_lo=(np.asarray(sell.dense_lo[0], np.float32)
-                      if sell.dense_lo else None),
-            dense_bucket=(np.asarray(sell.dense_bucket[0])
-                          if sell.dense_parts else None),
-            dense_slab=(np.asarray(sell.dense_slab[0])
-                        if sell.dense_parts else None),
-            dense_vidx=(np.asarray(sell.dense_vidx[0])
-                        if sell.dense_parts else None),
-            n_chunks=sell.parts[0][0],
-            n_dense=sell.dense_parts[0][0] if sell.dense_parts else 0,
-        ))
+        nc = sell.parts[0][0]
+        nd = sell.dense_parts[0][0] if sell.dense_parts else 0
+        metas.append(SimpleNamespace(
+            n_chunks=nc, n_dense=nd, ndb=np.asarray(sell.dense_data[0]).shape[0]))
+        if s in retain:
+            # mutable per-shard snapshot (SELLMatrix is frozen)
+            packs[s] = SimpleNamespace(
+                data=np.asarray(sell.data[0]),
+                cols=np.asarray(sell.cols[0]),
+                packed=np.asarray(sell.packed[0]),
+                packed_lo=(np.asarray(sell.packed_lo[0]) if sell.packed_lo
+                           else np.zeros((0, K, C), np.float32)),
+                bucket=np.asarray(sell.bucket[0]),
+                slab=np.asarray(sell.slab[0]),
+                dense_data=np.asarray(sell.dense_data[0], dtype=dtype),
+                dense_lo=(np.asarray(sell.dense_lo[0], np.float32)
+                          if sell.dense_lo else None),
+                dense_bucket=(np.asarray(sell.dense_bucket[0])
+                              if sell.dense_parts else None),
+                dense_slab=(np.asarray(sell.dense_slab[0])
+                            if sell.dense_parts else None),
+                dense_vidx=(np.asarray(sell.dense_vidx[0])
+                            if sell.dense_parts else None),
+                n_chunks=nc,
+                n_dense=nd,
+            )
+        del sell
 
     # --- pad chunk lists to the shard maximum ---
-    max_nc = max(p.n_chunks for p in packs)
-    has_dense = any(p.n_dense for p in packs)
+    max_nc = max(m.n_chunks for m in metas)
+    has_dense = any(m.n_dense for m in metas)
     if has_dense:
         # shards without a dense side need per-block coverage chunks
         # (every output block of the dense call must be visited once so
         # the revisited block is zero-initialized)
         cov_slab = np.arange(n_blocks, dtype=np.int32) * SLABS_PER_BLOCK
-        for p in packs:
+        for p in packs.values():
             if not p.n_dense:
                 p.dense_bucket = np.zeros((n_blocks,), np.int32)
                 p.dense_slab = cov_slab
                 p.dense_vidx = np.zeros((n_blocks,), np.int32)
                 p.n_dense = n_blocks
-        max_ndc = max(p.n_dense for p in packs)
-        max_ndb = max(p.dense_data.shape[0] for p in packs)
+        for m in metas:
+            if not m.n_dense:
+                m.n_dense = n_blocks
+        max_ndc = max(m.n_dense for m in metas)
+        max_ndb = max(m.ndb for m in metas)
     else:
         max_ndc, max_ndb = 0, 1
 
-    def stack(field, n_pad_chunks, slab_src=None):
-        out = []
-        for p in packs:
+    def finish(pieces, empty_trailing_shape, empty_dtype):
+        """Stack (single-host) or wrap as ShardStack (per-host)."""
+        if owned is None:
+            return np.stack([pieces[s] for s in range(n_shards)])
+        from gmres_tpu.parallel.partition import ShardStack
+
+        if pieces:
+            a0 = next(iter(pieces.values()))
+            return ShardStack((n_shards,) + a0.shape, a0.dtype, pieces)
+        return ShardStack((n_shards,) + empty_trailing_shape,
+                          np.dtype(empty_dtype), pieces)
+
+    def stack(field, n_pad_chunks, slab_src=None, trailing=(), tdtype=np.float32):
+        pieces = {}
+        for s, p in packs.items():
             a = getattr(p, field)
             last = (int(getattr(p, slab_src)[-1])
                     if slab_src is not None else None)
-            out.append(_pad_chunks((a,), n_pad_chunks, last_slab=last))
-        return np.stack(out)
+            pieces[s] = _pad_chunks((a,), n_pad_chunks, last_slab=last)
+        return finish(pieces, (n_pad_chunks,) + trailing, tdtype)
 
-    data = stack("data", max_nc)
-    cols = stack("cols", max_nc)
-    packed = stack("packed", max_nc)
-    packed_lo = (stack("packed_lo", max_nc) if df64
+    data = stack("data", max_nc, trailing=(K, C), tdtype=dtype)
+    cols = stack("cols", max_nc, trailing=(K, C), tdtype=np.int32)
+    packed = stack("packed", max_nc, trailing=(2 * K, C))
+    packed_lo = (stack("packed_lo", max_nc, trailing=(K, C)) if df64
                  else np.zeros((n_shards, 0, K, C), np.float32))
-    bucket = stack("bucket", max_nc)
-    slab = stack("slab", max_nc, slab_src="slab")
+    bucket = stack("bucket", max_nc, tdtype=np.int32)
+    slab = stack("slab", max_nc, slab_src="slab", tdtype=np.int32)
 
     if has_dense:
-        dense_bucket = stack("dense_bucket", max_ndc)
-        dense_slab = stack("dense_slab", max_ndc, slab_src="dense_slab")
-        dense_vidx = stack("dense_vidx", max_ndc)
+        dense_bucket = stack("dense_bucket", max_ndc, tdtype=np.int32)
+        dense_slab = stack("dense_slab", max_ndc, slab_src="dense_slab",
+                           tdtype=np.int32)
+        dense_vidx = stack("dense_vidx", max_ndc, tdtype=np.int32)
     else:
         dense_bucket = np.zeros((n_shards, 0), np.int32)
         dense_slab = np.zeros((n_shards, 0), np.int32)
@@ -331,16 +424,22 @@ def partition_sell(
             [a, np.zeros((target - a.shape[0],) + a.shape[1:], a.dtype)]
         )
 
-    dense_data = np.stack([pad_blocks(p.dense_data, max_ndb) for p in packs])
+    dense_data = finish(
+        {s: pad_blocks(p.dense_data, max_ndb) for s, p in packs.items()},
+        (max_ndb, W, C), dtype,
+    )
     if df64:
-        dense_lo = np.stack([
-            pad_blocks(
-                p.dense_lo if p.dense_lo is not None
-                else np.zeros((1, W, C), np.float32),
-                max_ndb,
-            )
-            for p in packs
-        ])
+        dense_lo = finish(
+            {
+                s: pad_blocks(
+                    p.dense_lo if p.dense_lo is not None
+                    else np.zeros((1, W, C), np.float32),
+                    max_ndb,
+                )
+                for s, p in packs.items()
+            },
+            (max_ndb, W, C), np.float32,
+        )
     else:
         # placeholder leaf, never read when df64 is False
         dense_lo = np.zeros((n_shards, 1, 1, 1), np.float32)

@@ -47,6 +47,19 @@ cfg = GmresConfig(
 )
 res = solve_distributed(A, b, cfg, multihost=True)
 assert res.converged, "did not converge"
+
+# per-host partitioning (round-2 VERDICT item 4): this process must have
+# materialized only ITS OWN shard blocks — about half the global
+# partitioned matrix bytes (2 of 4 shards), not all of them.  The global
+# footprint is the f64 outer HaloDIA stack plus its f32 inner copy; the
+# slack term covers the Jacobi inv_diag vector (O(n), replicated).
+from gmres_tpu.parallel.halo import partition_halo
+full = partition_halo(A, 4)
+fb = np.asarray(full.data).nbytes
+full_matrix_bytes = fb + fb // 2
+assert res.partition_local_bytes is not None
+assert res.partition_local_bytes <= 0.5 * full_matrix_bytes + A.n_rows * 16 + 4096, (
+    res.partition_local_bytes, full_matrix_bytes)
 # assemble the global solution on every host for the error check
 x_full = np.asarray(jax.jit(
     lambda a: a, out_shardings=jax.sharding.NamedSharding(
