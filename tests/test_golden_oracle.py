@@ -1,0 +1,126 @@
+"""Golden iteration-count validation against an independent numpy oracle.
+
+``oracle_gmres.py`` is a dense-arithmetic transcription of the reference
+algorithm written straight from ``gmres.cpp`` / ``Orthogonalization.hpp``
+/ ``IterUtil.hpp`` — it shares no code with ``gmres_tpu``.  These tests
+run the SAME (matrix, config) through both and assert matching
+(restarts, total_iters), pinning the algorithm semantics offline where
+the SuiteSparse-table fixtures (``test_golden_histories.py``) cannot run
+(no network).  Tolerances mirror the golden-table tests: fp rounding may
+shift a restart boundary by one.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gmres_tpu import GmresConfig, solve
+from gmres_tpu.io.rng import rand_vect
+from gmres_tpu.io.synth import convection_diffusion_2d
+from gmres_tpu.ops.spmv import spmv
+
+from oracle_gmres import oracle_solve
+
+
+def _dense(A):
+    rp = np.asarray(A.row_ptr).astype(np.int64)
+    nnz = int(rp[-1])
+    ci = np.asarray(A.col_idx)[:nnz]
+    v = np.asarray(A.vals)[:nnz]
+    rows = np.repeat(np.arange(A.n_rows), np.diff(rp))
+    D = np.zeros((A.n_rows, A.n_cols))
+    np.add.at(D, (rows, ci), v)
+    return D
+
+
+def _unstructured(n=768, row_nnz=7, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), row_nnz)
+    cols = rng.integers(0, n, size=n * row_nnz)
+    rows = np.concatenate([rows, np.arange(n)])
+    cols = np.concatenate([cols, np.arange(n)])
+    key = rows.astype(np.int64) * n + cols
+    _, keep = np.unique(key, return_index=True)
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.standard_normal(rows.shape[0])
+    vals[rows == cols] = row_nnz + 2.0
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    rp = np.concatenate([[0], np.cumsum(np.bincount(rows, minlength=n))])
+    from gmres_tpu.sparse import csr_from_arrays
+
+    return csr_from_arrays(rp, cols, vals, n_cols=n)
+
+
+# (matrix, mode, orth, policy, rtol, rlen, tol, prec)
+CASES = [
+    ("convdiff24", "baseline", "cgsr", "fixed", 0.0, 40, 1e-8, "identity"),
+    ("convdiff24", "mixed", "cgsr", "fixed", 0.0, 40, 1e-8, "identity"),
+    ("convdiff24", "mixed", "mgs", "relres", 1e-2, 40, 1e-8, "identity"),
+    ("convdiff24", "mixed", "cgsr", "repeat", 1e-4, 60, 1e-8, "identity"),
+    ("convdiff24", "baseline", "mgs", "fixed", 0.0, 40, 1e-10, "jacobi"),
+    ("convdiff24", "mixed", "cgsr", "orthloss", 1e-2, 40, 1e-8, "identity"),
+    ("unstruct", "mixed", "cgsr", "fixed", 0.0, 30, 1e-10, "identity"),
+    ("unstruct", "baseline", "mgs", "relres", 1e-2, 30, 1e-10, "jacobi"),
+]
+
+
+def _matrix(name):
+    if name == "convdiff24":
+        return convection_diffusion_2d(24, beta=1.0)
+    return _unstructured()
+
+
+@pytest.mark.parametrize(
+    "case", CASES, ids=["-".join(str(c) for c in c[:4]) for c in CASES]
+)
+def test_framework_matches_oracle(case):
+    name, mode, orth, policy, rtol, rlen, tol, prec = case
+    A = _matrix(name)
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    A_dense = _dense(A)
+
+    inv_diag = None
+    if prec == "jacobi":
+        inv_diag = 1.0 / np.diag(A_dense)
+
+    ref = oracle_solve(
+        A_dense, b, tol=tol, rlen=rlen, max_restarts=400, orth=orth,
+        mode=mode, policy=policy, rtol=rtol, inv_diag=inv_diag,
+    )
+    assert ref.converged, ("oracle did not converge", case)
+
+    cfg = GmresConfig.from_flags(
+        mode=mode, orth=orth, prec=prec, rlen=rlen, tol=tol,
+        rtol=rtol, repeat_iter=(policy == "repeat"),
+        orthloss=(policy == "orthloss"), max_restarts=400,
+    )
+    res = solve(A, b, cfg)
+    assert res.converged, ("framework did not converge", case)
+
+    assert abs(res.restarts - ref.restarts) <= 1, (
+        case, res.restarts, ref.restarts)
+    assert abs(res.total_iters - ref.total_iters) <= max(
+        2, 0.05 * ref.total_iters
+    ), (case, res.total_iters, ref.total_iters)
+
+
+def test_oracle_solution_is_accurate():
+    """The oracle itself must solve the system (guards against the oracle
+    and framework agreeing on a wrong count because both are broken in the
+    same way — the oracle is validated against plain linear algebra)."""
+    A = _matrix("convdiff24")
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    D = _dense(A)
+    ref = oracle_solve(D, b, tol=1e-10, rlen=40, max_restarts=400,
+                       orth="cgsr", mode="mixed", policy="fixed")
+    assert ref.converged
+    r = b - D @ ref.x
+    crit = np.linalg.norm(r) / (
+        np.linalg.norm(b)
+        + np.linalg.norm(D.astype(np.float32)) * np.linalg.norm(ref.x)
+    )
+    assert crit <= 1e-10
+    assert np.linalg.norm(ref.x - x_true) < 1e-5
