@@ -62,6 +62,15 @@ def apply_preconditioner(M, w: jax.Array, axis_name: str | None = None,
                 "exact-ILU triangular solves are single-device (the fused "
                 "VMEM kernel); use precond='ilu_jacobi' when distributed"
             )
+        if M.seg:
+            from gmres_tpu.ops.pallas.trisolve_kernel import (
+                ilu_trisolve_segmented,
+            )
+
+            return ilu_trisolve_segmented(
+                M.lower_bands, M.upper_bands, M.inv_diag, w,
+                M.offs_l, M.offs_u, M.steps_l_segs, M.steps_u_segs, M.seg,
+            )
         from gmres_tpu.ops.pallas.trisolve_kernel import ilu_trisolve_fused
 
         return ilu_trisolve_fused(

