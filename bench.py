@@ -51,6 +51,13 @@ def run_solve(A, b, cfg, repeats=3, M=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=1024)
+    ap.add_argument("--matrix", default="convdiff",
+                    choices=("convdiff", "mesh3d", "mesh"),
+                    help="convdiff: banded (DIA fast path; the recorded "
+                         "headline).  mesh3d/mesh: unstructured jittered "
+                         "stencils dia.from_csr rejects (SELL fast path; "
+                         "cage/3D-FEM-class at run=8, 2D-FEM at run=3) — "
+                         "n = nx*nx rows either way")
     ap.add_argument("--beta", type=float, default=2.0,
                     help="convection strength; 2.0 gives a realistic "
                          "~25-restart solve at the default tol")
@@ -70,9 +77,15 @@ def main():
 
     log(f"devices: {jax.devices()}")
     t0 = time.perf_counter()
-    A = convection_diffusion_2d(args.nx, beta=args.beta)
+    if args.matrix == "convdiff":
+        A = convection_diffusion_2d(args.nx, beta=args.beta)
+    else:
+        from gmres_tpu.io.synth import unstructured_mesh
+
+        A = unstructured_mesh(args.nx * args.nx,
+                              run=8 if args.matrix == "mesh3d" else 3)
     n, nnz = A.n_rows, A.nnz
-    log(f"matrix: conv-diff {args.nx}x{args.nx}, n={n:,}, nnz={nnz:,} "
+    log(f"matrix: {args.matrix} {args.nx}x{args.nx}, n={n:,}, nnz={nnz:,} "
         f"(built in {time.perf_counter()-t0:.1f}s)")
 
     x_true = rand_vect(n, 42)
