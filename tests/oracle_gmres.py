@@ -171,6 +171,24 @@ class _OrthLoss(_Fixed):
         return "next"
 
 
+def _ilu0_dense(A64: np.ndarray) -> np.ndarray:
+    """Dense ILU(0): the textbook row-wise IKJ factorization restricted to
+    the pattern of A (``kernels_mkl.cpp`` merge-loop semantics; fp64
+    compute like the reference's csrilu02 contract).  Returns the combined
+    factor matrix (unit-lower L strict part below the diagonal, U on and
+    above)."""
+    F = np.array(A64, dtype=np.float64)
+    mask = A64 != 0
+    n = F.shape[0]
+    for i in range(1, n):
+        ks = np.flatnonzero(mask[i, :i])
+        for k in ks:
+            F[i, k] = F[i, k] / F[k, k]
+            js = np.flatnonzero(mask[i, k + 1:]) + k + 1
+            F[i, js] -= F[i, k] * F[k, js]
+    return F
+
+
 def _orthogonalize(orth, V, k, w, h, dt):
     """Orthogonalization.hpp kernels, same operation order."""
     if orth == "cgs":
@@ -208,13 +226,16 @@ def oracle_solve(A64: np.ndarray, b: np.ndarray, tol: float, rlen: int,
                  max_restarts: int, orth: str = "cgsr",
                  mode: str = "baseline", policy: str = "fixed",
                  rtol: float = 0.0, inv_diag: np.ndarray | None = None,
+                 ilu_jacobi_steps: int = 0,
                  ) -> OracleResult:
     """Dense restarted GMRES following gmres.cpp exactly.
 
     ``mode``: 'baseline' (all fp64) or 'mixed' (gmres_singleUpdate: fp64
-    outer residual, fp32 cycle).  ``inv_diag``: Jacobi preconditioner
-    (None = identity).  ``policy`` + ``rtol`` select the Convergence
-    subclass.
+    outer residual, fp32 cycle).  ``inv_diag``: Jacobi preconditioner;
+    ``ilu_jacobi_steps > 0``: ILU(0)-Jacobi preconditioner with that many
+    sweeps per triangle (portable-kernel semantics, ``kernels.hpp``:
+    L-phase x <- b - Ls x; U-phase x <- x + D^{-1}(b' - U x)); None/0 =
+    identity.  ``policy`` + ``rtol`` select the Convergence subclass.
     """
     n = b.shape[0]
     hi = np.float64
@@ -224,8 +245,25 @@ def oracle_solve(A64: np.ndarray, b: np.ndarray, tol: float, rlen: int,
     b = np.asarray(b, dtype=hi)
     Md_lo = None if inv_diag is None else np.asarray(inv_diag, dtype=lo)
 
-    def M_apply(w):  # in low precision, like M->apply on the fp32 w
-        return w if Md_lo is None else (w * Md_lo.astype(w.dtype)).astype(w.dtype)
+    if ilu_jacobi_steps:
+        F = _ilu0_dense(A_hi).astype(lo)  # fp64 factorize, downcast factors
+        Ls = np.tril(F, -1)
+        U = np.triu(F)
+        invd = (1.0 / np.diag(F)).astype(lo)
+
+        def M_apply(w):
+            bb = w
+            x = bb
+            for _ in range(ilu_jacobi_steps):
+                x = bb - Ls @ x
+            b2 = x
+            for _ in range(ilu_jacobi_steps):
+                x = x + invd * (b2 - U @ x)
+            return x.astype(w.dtype)
+    else:
+        def M_apply(w):  # in low precision, like M->apply on the fp32 w
+            return w if Md_lo is None else (
+                w * Md_lo.astype(w.dtype)).astype(w.dtype)
 
     conv = {
         "fixed": lambda: _Fixed(tol, rlen, max_restarts),

@@ -62,6 +62,9 @@ CASES = [
     ("convdiff24", "mixed", "cgsr", "orthloss", 1e-2, 40, 1e-8, "identity"),
     ("unstruct", "mixed", "cgsr", "fixed", 0.0, 30, 1e-10, "identity"),
     ("unstruct", "baseline", "mgs", "relres", 1e-2, 30, 1e-10, "jacobi"),
+    # the headline preconditioner family (ILU(0)-Jacobi, 3 sweeps)
+    ("convdiff24", "mixed", "cgsr", "fixed", 0.0, 20, 1e-10, "ilu_jacobi"),
+    ("convdiff24", "baseline", "mgs", "fixed", 0.0, 20, 1e-10, "ilu_jacobi"),
 ]
 
 
@@ -84,10 +87,12 @@ def test_framework_matches_oracle(case):
     inv_diag = None
     if prec == "jacobi":
         inv_diag = 1.0 / np.diag(A_dense)
+    ilu_steps = 3 if prec == "ilu_jacobi" else 0
 
     ref = oracle_solve(
         A_dense, b, tol=tol, rlen=rlen, max_restarts=400, orth=orth,
         mode=mode, policy=policy, rtol=rtol, inv_diag=inv_diag,
+        ilu_jacobi_steps=ilu_steps,
     )
     assert ref.converged, ("oracle did not converge", case)
 
@@ -95,6 +100,7 @@ def test_framework_matches_oracle(case):
         mode=mode, orth=orth, prec=prec, rlen=rlen, tol=tol,
         rtol=rtol, repeat_iter=(policy == "repeat"),
         orthloss=(policy == "orthloss"), max_restarts=400,
+        jacobi_steps=max(1, ilu_steps),
     )
     res = solve(A, b, cfg)
     assert res.converged, ("framework did not converge", case)
