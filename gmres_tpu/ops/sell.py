@@ -217,17 +217,25 @@ def _sb_groups(rb_slab, rb_bucket, rb_counts, n_buckets):
     return sb_uniq, sb_cnt, sb_max, sb_rank_of_rb
 
 
-def _chunk_stats(rows, cols, n_cols, W, K):
-    """Number of chunks for candidate (W, K): a (slab, bucket) pair needs
-    ``ceil(max_count_over_rows / K)`` layers, and every layer is a chunk."""
+def _chunk_sb_max(rows, cols, n_cols, W):
+    """Per-(slab, bucket) max row-group count for candidate W — the
+    K-INDEPENDENT part of the chunk count, so one scan per W serves every
+    K candidate (the autotune's 12 full-structure scans were 40% of the
+    pack wall at 10M nnz)."""
     nb = np.int64(max(1, -(-n_cols // W)))
     bucket = cols // W
     rb_starts, rb_counts, _ = _rb_groups(rows, bucket, nb)
     rb_slab = rows[rb_starts] // C
     rb_bucket = bucket[rb_starts]
     _, _, sb_max, _ = _sb_groups(rb_slab, rb_bucket, rb_counts, nb)
-    layers = -(-sb_max // K)
-    return int(layers.sum())
+    return sb_max
+
+
+def _chunk_stats(rows, cols, n_cols, W, K):
+    """Number of chunks for candidate (W, K): a (slab, bucket) pair needs
+    ``ceil(max_count_over_rows / K)`` layers, and every layer is a chunk."""
+    sb_max = _chunk_sb_max(rows, cols, n_cols, W)
+    return int((-(-sb_max // K)).sum())
 
 
 def _plan_parts(chunk_blocks: np.ndarray, n_blocks_total: int):
@@ -255,16 +263,17 @@ def _plan_parts(chunk_blocks: np.ndarray, n_blocks_total: int):
 
 
 def autotune_wk(rows, ci, n_cols, nnz, W=None, K=None,
-                max_vreg_per_nnz: float = 24.0, chunk_counter=None):
+                max_vreg_per_nnz: float = 24.0, sbmax_counter=None):
     """Pick (W, K) minimizing the per-chunk cost model; ``None`` when the
     estimated work per nonzero exceeds the gate (the XLA gather fallback is
     then no worse).  A caller-supplied W or K is held fixed; entries must
     already be (row, col)-sorted.
 
-    ``chunk_counter(W, K) -> n_chunks`` overrides the default global
-    ``_chunk_stats`` scan — the per-host distributed partitioner passes a
-    range-at-a-time counter so no O(global nnz) index array is ever
-    materialized (``rows``/``ci`` may then be None).
+    ``sbmax_counter(W) -> iterable of sb_max arrays`` overrides the default
+    global ``_chunk_sb_max`` scan — the per-host distributed partitioner
+    passes a range-at-a-time counter so no O(global nnz) index array is
+    ever materialized (``rows``/``ci`` may then be None).  The scan is
+    K-independent, so each W candidate is scanned exactly once.
 
     Empirical per-chunk cost in ~ns (scripts/probe_sell_cost.py): the
     kernel is DMA-transaction + MXU-matvec bound; the VPU densify hides
@@ -275,15 +284,16 @@ def autotune_wk(rows, ci, n_cols, nnz, W=None, K=None,
     (single-chip) and ``parallel/sell_dist.partition_sell`` (same (W, K)
     across all shards).
     """
-    if chunk_counter is None:
-        chunk_counter = lambda Wc, Kc: _chunk_stats(rows, ci, n_cols, Wc, Kc)
+    if sbmax_counter is None:
+        sbmax_counter = lambda Wc: (_chunk_sb_max(rows, ci, n_cols, Wc),)
     cm = _cost_model()
     W_cands = (W,) if W is not None else (128, 256, 512, 1024)
     K_cands = (K,) if K is not None else (4, 8, 16)
     best = None
     for Wc in W_cands:
+        bases = tuple(sbmax_counter(Wc))
         for Kc in K_cands:
-            n_chunks = chunk_counter(Wc, Kc)
+            n_chunks = sum(int((-(-b // Kc)).sum()) for b in bases)
             slot_bytes = 2 * Kc * C * 4
             cost = n_chunks * (
                 cm["fixed_ns"] + cm["ns_per_lane"] * Wc

@@ -291,20 +291,17 @@ def partition_sell(
             )
 
         if W is None or K is None:
-            from gmres_tpu.ops.sell import _chunk_stats
+            from gmres_tpu.ops.sell import _chunk_sb_max
 
-            def counter(Wc, Kc):
-                total = 0
+            def sb_counter(Wc):
                 for s in range(n_shards):
                     loc = local_csr(s)
                     if loc is None:
                         continue
-                    total += _chunk_stats(loc._rows, loc.col_idx, n_pad,
-                                          Wc, Kc)
-                return total
+                    yield _chunk_sb_max(loc._rows, loc.col_idx, n_pad, Wc)
 
             tuned = autotune_wk(None, None, n_pad, nnz, W, K,
-                                max_vreg_per_nnz, chunk_counter=counter)
+                                max_vreg_per_nnz, sbmax_counter=sb_counter)
             if tuned is None:
                 return None
             W, K = tuned
