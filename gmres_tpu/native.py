@@ -84,6 +84,23 @@ def _get_lib():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p,
         ctypes.c_int,
     ]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    vp = ctypes.c_void_p
+    lib.sell_pack_plan.restype = ctypes.c_int64
+    lib.sell_pack_plan.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        i32p, i64p, i64p, i32p, i64p, i64p,
+    ]
+    lib.sell_pack_fill.restype = None
+    lib.sell_pack_fill.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        i32p, i64p, i64p, i32p, i64p,
+        ctypes.c_int, ctypes.c_int,
+        vp, i32p, f32p, vp, f32p, vp,
+        i64p, i32p, i64p, i32p,
+    ]
     _lib = lib
     return lib
 
@@ -138,6 +155,104 @@ def trisolve_native(row_ptr, col_idx, vals, diag, b):
     x = np.ascontiguousarray(b, dtype=np.float64).copy()
     lib.ilu_trisolve(n, rp, ci, v, d, x)
     return x
+
+
+def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
+                     df64: bool, out_dtype):
+    """Native SELL pack (the hot loops of ``ops/sell.py:sell_from_csr``).
+
+    Inputs: int32 CSR (``rp`` length n+1, ``ci``/``v`` length >= nnz with
+    sorted columns per row), the tuned (W, K), and the classification
+    thresholds.  Returns the pre-assembled arrays in the exact layout the
+    numpy packer produces (bit-identical; tests/test_sell_native.py):
+    ``(vals_arr, cols_arr, merged, merged_lo, dense_hi, dense_lo,
+    chunk_slab, chunk_bucket, dense_slab, dense_bucket)``.
+
+    Raises ``ValueError`` when a row's columns are unsorted (caller sorts
+    and retries) and ``ImportError``/``TypeError`` when the native path is
+    unavailable for the library/dtype — callers fall back to numpy.
+    """
+    out_dtype = np.dtype(out_dtype)
+    if out_dtype not in (np.dtype(np.float64), np.dtype(np.float32)):
+        raise TypeError(f"native pack supports f64/f32 data, not {out_dtype}")
+    lib = _get_lib()
+    rp = np.ascontiguousarray(rp, dtype=np.int32)
+    n = rp.shape[0] - 1
+    nnz = int(rp[-1])
+    ci = np.ascontiguousarray(ci[:nnz], dtype=np.int32)
+    v = np.ascontiguousarray(v[:nnz], dtype=np.float64)
+
+    # worst-case (np.empty: untouched pages never materialize)
+    rb_sbrank = np.empty(nnz, dtype=np.int32)
+    sb_pair = np.empty(nnz, dtype=np.int64)
+    chunk_base = np.empty(nnz + 1, dtype=np.int64)
+    pair_rank = np.empty(nnz, dtype=np.int32)
+    sb_max = np.empty(nnz, dtype=np.int64)
+    counts = np.zeros(4, dtype=np.int64)
+    R = lib.sell_pack_plan(
+        n, int(n_cols), nnz, rp, ci, W, K,
+        int(dense_min_cnt), int(max_dense_blocks),
+        rb_sbrank, sb_pair, chunk_base, pair_rank, sb_max, counts,
+    )
+    if R == -1:
+        raise ValueError("unsorted columns within a row")
+    if R < 0:
+        raise ImportError("native pack allocation failure")
+    n_sb, n_chunks, n_dense, _ = (int(c) for c in counts)
+
+    C_ = 128
+    vals_arr = np.zeros((n_chunks, K, C_), dtype=out_dtype)
+    cols_arr = np.zeros((n_chunks, K, C_), dtype=np.int32)
+    merged = np.zeros((n_chunks, 2 * K, C_), dtype=np.float32)
+    merged_lo = (np.zeros((n_chunks, K, C_), dtype=np.float32)
+                 if df64 else np.zeros((0, K, C_), dtype=np.float32))
+    dense_hi = np.zeros((n_dense + 1, W, C_), dtype=np.float32)
+    dense_lo = (np.zeros((n_dense + 1, W, C_), dtype=np.float32)
+                if df64 else np.zeros((1, W, C_), dtype=np.float32))
+    chunk_slab = np.zeros(n_chunks, dtype=np.int64)
+    chunk_bucket = np.zeros(n_chunks, dtype=np.int32)
+    dense_slab = np.zeros(n_dense, dtype=np.int64)
+    dense_bucket = np.zeros(n_dense, dtype=np.int32)
+    lib.sell_pack_fill(
+        n, int(n_cols), nnz, rp, ci, v, W, K, n_sb,
+        rb_sbrank, sb_pair, chunk_base, pair_rank, sb_max,
+        int(out_dtype == np.dtype(np.float32)), int(df64),
+        vals_arr.ctypes.data_as(ctypes.c_void_p), cols_arr, merged,
+        merged_lo.ctypes.data_as(ctypes.c_void_p), dense_hi,
+        dense_lo.ctypes.data_as(ctypes.c_void_p),
+        chunk_slab, chunk_bucket, dense_slab, dense_bucket,
+    )
+    return (vals_arr, cols_arr, merged,
+            merged_lo if df64 else None,
+            dense_hi, dense_lo if df64 else None,
+            chunk_slab, chunk_bucket, dense_slab, dense_bucket)
+
+
+def sell_sbmax_native(rp, ci, n_cols, W):
+    """Per-(slab, bucket) max row-group count (the autotune structure scan,
+    ``ops/sell.py:_chunk_sb_max``) via the native plan pass.  Returns the
+    sb_max array, or raises for unsorted rows / unavailable library."""
+    lib = _get_lib()
+    rp = np.ascontiguousarray(rp, dtype=np.int32)
+    n = rp.shape[0] - 1
+    nnz = int(rp[-1])
+    ci = np.ascontiguousarray(ci[:nnz], dtype=np.int32)
+    rb_sbrank = np.empty(nnz, dtype=np.int32)
+    sb_pair = np.empty(nnz, dtype=np.int64)
+    chunk_base = np.empty(nnz + 1, dtype=np.int64)
+    pair_rank = np.empty(nnz, dtype=np.int32)
+    sb_max = np.empty(nnz, dtype=np.int64)
+    counts = np.zeros(4, dtype=np.int64)
+    R = lib.sell_pack_plan(
+        n, int(n_cols), nnz, rp, ci, W, 4, np.iinfo(np.int64).max,
+        np.iinfo(np.int64).max,
+        rb_sbrank, sb_pair, chunk_base, pair_rank, sb_max, counts,
+    )
+    if R == -1:
+        raise ValueError("unsorted columns within a row")
+    if R < 0:
+        raise ImportError("native scan allocation failure")
+    return sb_max[: int(counts[0])]
 
 
 def parse_coord_native(text: bytes, nnz: int, pattern: bool = False):

@@ -330,40 +330,202 @@ def sell_from_csr(
     upload) — for callers that post-process the pack (e.g. the
     distributed partitioner stacking per-shard packs before a sharded
     device_put, ``parallel/sell_dist.py``).
+
+    Two interchangeable pack engines produce bit-identical arrays
+    (tests/test_sell_native.py): the native two-pass streamer
+    (``csrc/gmres_native.cpp:sell_pack_plan/fill`` — the default; this
+    host class has one throttled core and the numpy path pays ~15
+    nnz-scale array passes) and the pure-numpy path (fallback when the
+    library, the value dtype, or GMRES_TPU_SELL_NUMPY=1 rule the native
+    one out).
     """
+    import os
+
     conv = (lambda a: a) if host_arrays else jnp.asarray
     n = A.n_rows
     rp = np.asarray(A.row_ptr).astype(np.int64)
     nnz = int(rp[-1])
     if nnz == 0:
         return None
-    ci = np.asarray(A.col_idx)[:nnz].astype(np.int64)
+    ci = np.asarray(A.col_idx)[:nnz]
     v = np.asarray(A.vals)[:nnz]
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
-
-    # The sort-free group machinery below requires entries ordered by
-    # (row, col): valid CSR does not guarantee sorted columns (and
-    # csr_from_arrays doesn't sort), and unsorted rows would split a
-    # (row, bucket) pair into multiple groups whose slot sequences
-    # restart at 0 — distinct nonzeros would then collide on the same
-    # (chunk, slot, row) cell and be silently dropped.  Detect (O(nnz)
-    # compare) and stable-sort only when needed.
-    rc_key = rows * np.int64(A.n_cols) + ci
-    if not np.all(rc_key[1:] >= rc_key[:-1]):
-        order = np.argsort(rc_key, kind="stable")
-        rows, ci, v = rows[order], ci[order], v[order]
-    del rc_key
-
-    if W is None or K is None:
-        tuned = autotune_wk(rows, ci, A.n_cols, nnz, W, K, max_vreg_per_nnz)
-        if tuned is None:
-            return None
-        W, K = tuned
-
+    out_dtype = v.dtype if dtype is None else dtype
     n_rows_pad = -(-n // ROWS_PER_BLOCK) * ROWS_PER_BLOCK
     n_blocks = n_rows_pad // ROWS_PER_BLOCK
+
+    packed_arrays = None
+    use_native = (
+        not os.environ.get("GMRES_TPU_SELL_NUMPY")
+        and np.dtype(out_dtype) in (np.dtype(np.float64), np.dtype(np.float32))
+        and A.n_cols < np.iinfo(np.int32).max
+    )
+    if use_native:
+        try:
+            packed_arrays, W, K = _pack_entries_native(
+                A, rp, ci, v, W, K, max_vreg_per_nnz, dense_fill_min,
+                max_dense_bytes, df64, out_dtype,
+            )
+        except ImportError:
+            packed_arrays = None
+        else:
+            if packed_arrays is None:
+                return None  # the autotune gate refused
+
+    if packed_arrays is None:
+        ci = ci.astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+
+        # The sort-free group machinery below requires entries ordered by
+        # (row, col): valid CSR does not guarantee sorted columns (and
+        # csr_from_arrays doesn't sort), and unsorted rows would split a
+        # (row, bucket) pair into multiple groups whose slot sequences
+        # restart at 0 — distinct nonzeros would then collide on the same
+        # (chunk, slot, row) cell and be silently dropped.  Detect (O(nnz)
+        # compare) and stable-sort only when needed.
+        rc_key = rows * np.int64(A.n_cols) + ci
+        if not np.all(rc_key[1:] >= rc_key[:-1]):
+            order = np.argsort(rc_key, kind="stable")
+            rows, ci, v = rows[order], ci[order], v[order]
+        del rc_key
+
+        if W is None or K is None:
+            tuned = autotune_wk(rows, ci, A.n_cols, nnz, W, K,
+                                max_vreg_per_nnz)
+            if tuned is None:
+                return None
+            W, K = tuned
+        packed_arrays = _pack_entries_numpy(
+            rows, ci, v, A.n_cols, W, K, n_blocks, dense_fill_min,
+            max_dense_bytes, df64, out_dtype,
+        )
+
     n_buckets = max(1, -(-A.n_cols // W))
-    out_dtype = v.dtype if dtype is None else dtype
+    (vals_arr, cols_arr, merged, merged_lo, dense_blocks, dense_lo_blocks,
+     chunk_slab, chunk_bucket, dense_slab_arr, dense_bucket_arr) = \
+        packed_arrays
+    n_chunks = chunk_slab.shape[0]
+    n_dense_real = dense_slab_arr.shape[0]
+    dense_vidx_arr = np.arange(1, n_dense_real + 1, dtype=np.int64)
+
+    # dense coverage dummies (share the zero block via vidx 0)
+    covered_d = np.zeros(n_blocks, dtype=bool)
+    covered_d[dense_slab_arr // SLABS_PER_BLOCK] = True
+    missing_d = np.flatnonzero(~covered_d)
+    if n_dense_real and missing_d.shape[0]:
+        dense_slab_arr = np.concatenate(
+            [dense_slab_arr, missing_d.astype(np.int64) * SLABS_PER_BLOCK])
+        dense_bucket_arr = np.concatenate(
+            [dense_bucket_arr, np.zeros(missing_d.shape[0], np.int32)])
+        dense_vidx_arr = np.concatenate(
+            [dense_vidx_arr, np.zeros(missing_d.shape[0], np.int64)])
+        order = np.argsort(dense_slab_arr, kind="stable")
+        dense_slab_arr = dense_slab_arr[order]
+        dense_bucket_arr = dense_bucket_arr[order]
+        dense_vidx_arr = dense_vidx_arr[order]
+
+    splits = _plan_parts(chunk_slab // SLABS_PER_BLOCK, n_blocks)
+    data_p, cols_p, packed_p, plo_p, bucket_p, slab_p, parts = (
+        [], [], [], [], [], [], [])
+    for (lo, hi, blk_lo, blk_hi) in splits:
+        data_p.append(vals_arr[lo:hi])
+        cols_p.append(cols_arr[lo:hi])
+        packed_p.append(conv(merged[lo:hi]))
+        if df64:
+            plo_p.append(conv(merged_lo[lo:hi]))
+        bucket_p.append(conv(chunk_bucket[lo:hi]))
+        slab_p.append(conv(chunk_slab[lo:hi].astype(np.int32)))
+        parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
+
+    dbucket_p, dslab_p, dvidx_p, dense_parts = [], [], [], []
+    if n_dense_real:
+        dsplits = _plan_parts(dense_slab_arr // SLABS_PER_BLOCK, n_blocks)
+        for (lo, hi, blk_lo, blk_hi) in dsplits:
+            dbucket_p.append(conv(dense_bucket_arr[lo:hi]))
+            dslab_p.append(conv(dense_slab_arr[lo:hi].astype(np.int32)))
+            dvidx_p.append(conv(dense_vidx_arr[lo:hi].astype(np.int32)))
+            dense_parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
+
+    return SELLMatrix(
+        data=tuple(conv(d) for d in data_p),
+        cols=tuple(conv(c) for c in cols_p),
+        packed=tuple(packed_p),
+        packed_lo=tuple(plo_p),
+        bucket=tuple(bucket_p),
+        slab=tuple(slab_p),
+        dense_data=(conv(dense_blocks),),
+        dense_lo=((conv(dense_lo_blocks),) if df64 else ()),
+        dense_bucket=tuple(dbucket_p),
+        dense_slab=tuple(dslab_p),
+        dense_vidx=tuple(dvidx_p),
+        n_rows=n,
+        n_cols=A.n_cols,
+        nnz=nnz,
+        W=W,
+        K=K,
+        parts=tuple(parts),
+        dense_parts=tuple(dense_parts),
+        n_rows_pad=n_rows_pad,
+        n_buckets=n_buckets,
+    )
+
+
+def _pack_entries_native(A, rp, ci, v, W, K, max_vreg_per_nnz,
+                         dense_fill_min, max_dense_bytes, df64, out_dtype):
+    """Autotune + pack through the native two-pass streamer.  Returns
+    ``(arrays, W, K)`` with ``arrays`` matching ``_pack_entries_numpy``,
+    or ``(None, W, K)`` when the autotune gate refuses; raises ImportError
+    when the native library is unavailable."""
+    from gmres_tpu.native import sell_pack_native, sell_sbmax_native
+
+    nnz = int(rp[-1])
+    sorted_ci, sorted_v = ci, v
+
+    def _sort():
+        nonlocal sorted_ci, sorted_v
+        rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), np.diff(rp))
+        rc_key = rows * np.int64(A.n_cols) + sorted_ci.astype(np.int64)
+        order = np.argsort(rc_key, kind="stable")
+        # intra-row sort: row_ptr stays valid, only ci/v permute
+        sorted_ci, sorted_v = sorted_ci[order], sorted_v[order]
+
+    if W is None or K is None:
+        def counter(Wc):
+            yield sell_sbmax_native(rp, sorted_ci, A.n_cols, Wc)
+
+        try:
+            tuned = autotune_wk(None, None, A.n_cols, nnz, W, K,
+                                max_vreg_per_nnz, sbmax_counter=counter)
+        except ValueError:
+            _sort()
+            tuned = autotune_wk(None, None, A.n_cols, nnz, W, K,
+                                max_vreg_per_nnz, sbmax_counter=counter)
+        if tuned is None:
+            return None, W, K  # gate refused; caller returns None
+        W, K = tuned
+
+    dense_min_cnt = max(int(dense_fill_min * W * C), 2 * K)
+    max_dense_blocks = max(1, max_dense_bytes // (W * C * 4))
+    try:
+        arrays = sell_pack_native(rp, sorted_ci, sorted_v, A.n_cols, W, K,
+                                  dense_min_cnt, max_dense_blocks, df64,
+                                  out_dtype)
+    except ValueError:
+        _sort()
+        arrays = sell_pack_native(rp, sorted_ci, sorted_v, A.n_cols, W, K,
+                                  dense_min_cnt, max_dense_blocks, df64,
+                                  out_dtype)
+    return arrays, W, K
+
+
+def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
+                        dense_fill_min, max_dense_bytes, df64, out_dtype):
+    """Pure-numpy pack of (row, col)-sorted entries.  Returns
+    ``(vals_arr, cols_arr, merged, merged_lo, dense_blocks,
+    dense_lo_blocks, chunk_slab, chunk_bucket, dense_slab_arr,
+    dense_bucket_arr)`` — dense lists WITHOUT coverage dummies (added by
+    the shared assembly tail in ``sell_from_csr``)."""
+    nnz = rows.shape[0]
+    n_buckets = max(1, -(-n_cols // W))
 
     slab = rows // C
     bucket = ci // W
@@ -422,23 +584,6 @@ def sell_from_csr(
         if df64:
             v_lo = (v_d - v_hi.astype(np.float64)).astype(np.float32)
             np.add.at(dense_lo_blocks.reshape(-1), flat_d, v_lo)
-    dense_vidx_arr = np.arange(1, n_dense_real + 1, dtype=np.int64)
-    # coverage dummies (share the zero block via vidx 0)
-    covered_d = np.zeros(n_blocks, dtype=bool)
-    covered_d[dense_slab_arr // SLABS_PER_BLOCK] = True
-    missing_d = np.flatnonzero(~covered_d)
-    if n_dense_real and missing_d.shape[0]:
-        dense_slab_arr = np.concatenate(
-            [dense_slab_arr, missing_d.astype(np.int64) * SLABS_PER_BLOCK])
-        dense_bucket_arr = np.concatenate(
-            [dense_bucket_arr, np.zeros(missing_d.shape[0], np.int32)])
-        dense_vidx_arr = np.concatenate(
-            [dense_vidx_arr, np.zeros(missing_d.shape[0], np.int64)])
-        order = np.argsort(dense_slab_arr, kind="stable")
-        dense_slab_arr = dense_slab_arr[order]
-        dense_bucket_arr = dense_bucket_arr[order]
-        dense_vidx_arr = dense_vidx_arr[order]
-
     # --- ELL side on the remaining entries ---
     # chunk ids WITHOUT an nnz-scale sort: per ELL (slab,bucket) pair the
     # layer count is ceil(max_rb_count / K); chunk index = the pair's
@@ -501,50 +646,9 @@ def sell_from_csr(
         merged_lo.reshape(-1)[flat] = (
             v_e - v_hi_e.astype(np.float64)
         ).astype(np.float32)
-    splits = _plan_parts(chunk_slab // SLABS_PER_BLOCK, n_blocks)
-    data_p, cols_p, packed_p, plo_p, bucket_p, slab_p, parts = (
-        [], [], [], [], [], [], [])
-    for (lo, hi, blk_lo, blk_hi) in splits:
-        data_p.append(vals_arr[lo:hi])
-        cols_p.append(cols_arr[lo:hi])
-        packed_p.append(conv(merged[lo:hi]))
-        if df64:
-            plo_p.append(conv(merged_lo[lo:hi]))
-        bucket_p.append(conv(chunk_bucket[lo:hi]))
-        slab_p.append(conv(chunk_slab[lo:hi].astype(np.int32)))
-        parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
-
-    dbucket_p, dslab_p, dvidx_p, dense_parts = [], [], [], []
-    if n_dense_real:
-        dsplits = _plan_parts(dense_slab_arr // SLABS_PER_BLOCK, n_blocks)
-        for (lo, hi, blk_lo, blk_hi) in dsplits:
-            dbucket_p.append(conv(dense_bucket_arr[lo:hi]))
-            dslab_p.append(conv(dense_slab_arr[lo:hi].astype(np.int32)))
-            dvidx_p.append(conv(dense_vidx_arr[lo:hi].astype(np.int32)))
-            dense_parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
-
-    return SELLMatrix(
-        data=tuple(conv(d) for d in data_p),
-        cols=tuple(conv(c) for c in cols_p),
-        packed=tuple(packed_p),
-        packed_lo=tuple(plo_p),
-        bucket=tuple(bucket_p),
-        slab=tuple(slab_p),
-        dense_data=(conv(dense_blocks),),
-        dense_lo=((conv(dense_lo_blocks),) if df64 else ()),
-        dense_bucket=tuple(dbucket_p),
-        dense_slab=tuple(dslab_p),
-        dense_vidx=tuple(dvidx_p),
-        n_rows=n,
-        n_cols=A.n_cols,
-        nnz=nnz,
-        W=W,
-        K=K,
-        parts=tuple(parts),
-        dense_parts=tuple(dense_parts),
-        n_rows_pad=n_rows_pad,
-        n_buckets=n_buckets,
-    )
+    return (vals_arr, cols_arr, merged, merged_lo, dense_blocks,
+            dense_lo_blocks, chunk_slab, chunk_bucket, dense_slab_arr,
+            dense_bucket_arr)
 
 
 def _pad_x(A: "SELLMatrix", x: jax.Array) -> jax.Array:
