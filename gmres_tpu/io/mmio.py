@@ -157,6 +157,124 @@ def read(path: str | os.PathLike):
             return header, dense
 
 
+def read_coordinate_rows(
+    path: str | os.PathLike,
+    row_lo: int,
+    row_hi: int,
+    chunk_bytes: int = 64 << 20,
+):
+    """Stream a coordinate .mtx keeping only the entries a row block needs.
+
+    The pod-scale loader (SURVEY.md §5.8): a process reading rows
+    ``[row_lo, row_hi)`` of the ASSEMBLED matrix must keep a file entry
+    (r, c, v) when ``r`` is in range, or — for symmetric files — when
+    ``c`` is in range (the mirrored entry (c, r) lands in the block).
+    The file is parsed in ``chunk_bytes`` pieces (native strtol parser per
+    chunk), so peak memory is O(kept entries + chunk + n), never O(nnz).
+
+    Returns ``(header, rows, cols, vals, counts)`` with 0-based kept
+    entries in file order and ``counts[r]`` = the ASSEMBLED per-row entry
+    count for every global row (forced diagonal + off-diagonals + mirrored
+    off-diagonals) — the cumsum is the assembled global row_ptr.
+
+    Only ``coordinate x (real|integer|pattern)`` files (the loader's
+    supported set; complex needs no row-block path).
+    """
+    header = read_header(path)
+    if not header.is_coordinate or header.field not in (
+        "real", "integer", "pattern",
+    ):
+        raise MMIOError("row-block reading supports coordinate real/integer/"
+                        "pattern files")
+    symmetric = header.symmetry in ("symmetric", "skew-symmetric")
+    pattern = header.field == "pattern"
+    n = header.n_rows
+    counts = np.ones(n, dtype=np.int64)  # forced diagonal per row
+    kept_r, kept_c, kept_v = [], [], []
+
+    def _parse(buf: bytes, max_entries: int):
+        try:
+            from gmres_tpu.native import parse_coord_native
+
+            return parse_coord_native(buf, max_entries, pattern=pattern)
+        except (ImportError, ValueError):
+            raw = np.loadtxt(
+                __import__("io").StringIO(buf.decode()),
+                dtype=np.float64, comments="%", ndmin=2,
+            )
+            if raw.size == 0:
+                return (np.empty(0, np.int64), np.empty(0, np.int64),
+                        np.empty(0, np.float64))
+            r = raw[:, 0].astype(np.int64) - 1
+            c = raw[:, 1].astype(np.int64) - 1
+            v = (np.ones(r.shape[0]) if pattern else raw[:, 2])
+            return r, c, v
+
+    remaining = header.nnz
+    with open(path, "rb") as f:
+        # skip banner + comment/size lines
+        f.readline()
+        while True:
+            pos = f.tell()
+            line = f.readline()
+            if not line:
+                raise MMIOError("Malformed matrix size information")
+            s = line.strip()
+            if s and not s.startswith(b"%"):
+                break  # the size line; data starts after it
+        del pos
+        tail = b""
+        while remaining > 0:
+            buf = f.read(chunk_bytes)
+            if not buf:
+                break
+            buf = tail + buf
+            cut = buf.rfind(b"\n")
+            if cut < 0:
+                tail = buf
+                continue
+            tail = buf[cut + 1:]
+            chunk = buf[: cut + 1]
+            est = chunk.count(b"\n")
+            r, c, v = _parse(chunk, min(est, remaining))
+            got = r.shape[0]
+            if got == 0:
+                continue
+            remaining -= got
+            off = r != c
+            np.add.at(counts, r[off], 1)
+            if symmetric:
+                np.add.at(counts, c[off], 1)
+            keep = (r >= row_lo) & (r < row_hi)
+            if symmetric:
+                keep |= (c >= row_lo) & (c < row_hi)
+            if keep.any():
+                kept_r.append(r[keep])
+                kept_c.append(c[keep])
+                kept_v.append(v[keep])
+        if remaining > 0 and tail.strip():
+            r, c, v = _parse(tail + b"\n", remaining)
+            if r.shape[0]:
+                remaining -= r.shape[0]
+                off = r != c
+                np.add.at(counts, r[off], 1)
+                if symmetric:
+                    np.add.at(counts, c[off], 1)
+                keep = (r >= row_lo) & (r < row_hi)
+                if symmetric:
+                    keep |= (c >= row_lo) & (c < row_hi)
+                if keep.any():
+                    kept_r.append(r[keep])
+                    kept_c.append(c[keep])
+                    kept_v.append(v[keep])
+    if remaining != 0:
+        raise MMIOError(f"Malformed matrix data ({remaining} entries missing)")
+    cat = lambda parts, dt: (np.concatenate(parts) if parts
+                             else np.empty(0, dt))
+    return (header, cat(kept_r, np.int64), cat(kept_c, np.int64),
+            cat(kept_v, np.float64), counts)
+
+
 def write_coordinate(
     path: str | os.PathLike,
     n_rows: int,
