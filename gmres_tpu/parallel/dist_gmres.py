@@ -91,17 +91,43 @@ class DistILUJacobiPrec:
 
 
 def _partition_matrix(A: CSRMatrix, n_shards: int, use_halo: bool,
-                      owned=None):
+                      owned=None, exchange=None):
     """Halo partition when the pattern allows (neighbor-local coupling),
     else the allgather row partition.  ``owned``: per-host mode — only
-    those shards' arrays are materialized (multi-host, SURVEY.md §5.8)."""
+    those shards' arrays are materialized (multi-host, SURVEY.md §5.8).
+    ``exchange``: host allgather combining metadata partials when ``A`` is
+    a per-host ``RowBlockCSR``."""
     if use_halo:
         from gmres_tpu.parallel.halo import partition_halo
 
-        H = partition_halo(A, n_shards, owned=owned)
+        H = partition_halo(A, n_shards, owned=owned, exchange=exchange)
         if H is not None:
             return H
     return partition_rows(A, n_shards, owned=owned)
+
+
+def process_row_range(mesh: Mesh, n: int, owned=None) -> tuple[int, int]:
+    """The contiguous global row range this process's shards cover on a
+    1-D row mesh — the range to pass to ``load_matrix_rows`` for pod-scale
+    per-host input.  Raises if the process's shards are not contiguous in
+    the mesh (an exotic device assignment this input form does not
+    support)."""
+    if owned is None:
+        pid = jax.process_index()
+        owned = [s for s, d in enumerate(mesh.devices.flat)
+                 if d.process_index == pid]
+    owned = sorted(owned)
+    if owned and owned != list(range(owned[0], owned[-1] + 1)):
+        raise ValueError(
+            f"process shards {owned} are not contiguous; per-host row-block "
+            "input needs a contiguous shard-per-process mesh layout"
+        )
+    from gmres_tpu.parallel.partition import padded_size
+
+    r = padded_size(n, mesh.devices.size) // mesh.devices.size
+    if not owned:
+        return 0, 0
+    return min(owned) * r, min(n, (max(owned) + 1) * r)
 
 
 def _partition_prec(M, n_shards: int, use_halo: bool = True,
@@ -251,6 +277,8 @@ def solve_distributed(
     lockstep.  ``result.x`` is then a global (process-spanning) array.
     Validated under 2 simulated CPU processes in tests/test_multihost.py.
     """
+    from gmres_tpu.sparse import RowBlockCSR
+
     cfg = cfg or GmresConfig()
     if mesh is None:
         mesh = jax.make_mesh((len(jax.devices()),), (AXIS,))
@@ -258,36 +286,84 @@ def solve_distributed(
     out_dt = jnp.dtype(cfg.precision.outer)
     in_dt = cfg.precision.inner_dtype
     n = A.n_rows
-
-    t0 = time.perf_counter()
-    # keep CSR here: the row partitioner consumes CSR (DIA repacking for the
-    # distributed path happens per-shard in halo.py, not yet globally)
-    A_out, A_in = prepare_operators(A, cfg.with_(auto_format=False))
-    M = build_preconditioner(A, cfg)
-    prec_seconds = time.perf_counter() - t0
-    stage_key = (n_shards, cfg.auto_format, str(out_dt), str(in_dt),
-                 str(cfg.precision.precond_dtype), cfg.precond,
-                 cfg.jacobi_steps, cfg.use_pallas, force_df64, multihost,
-                 force_sell)
+    is_block = isinstance(A, RowBlockCSR)
 
     # per-host partitioning (SURVEY.md §5.8): over a process-spanning mesh,
     # each process materializes ONLY the shard blocks its local devices
     # own (ShardStack leaves) — partitioning an O(nnz) operator globally
     # on every host is a P x global host-RAM wall at pod scale
     owned = None
+    exchange = None
     if multihost:
         pid = jax.process_index()
         owned = frozenset(
             s for s, d in enumerate(mesh.devices.flat)
             if d.process_index == pid
         )
+    if is_block:
+        # per-host INPUT (pod scale): this process never saw the global
+        # entry arrays — only its loaded row block
+        # (io.loader.load_matrix_rows).  Metadata partials go through the
+        # host allgather; preconditioners that need the global pattern
+        # (ILU factorization is inherently a global sequential pass) are
+        # out of scope for this input form.
+        from gmres_tpu.config import Precond
+        from gmres_tpu.parallel.multihost import exchange_host_array
+
+        if cfg.precond not in (Precond.IDENTITY, Precond.JACOBI):
+            raise ValueError(
+                f"prec={cfg.precond.value} needs the global matrix "
+                "(ILU(0) factorization is a global sequential pass); "
+                "per-host RowBlockCSR input supports identity/jacobi — "
+                "pass the full CSRMatrix for ILU preconditioning"
+            )
+        if owned is None:
+            owned = frozenset(range(n_shards))
+        exchange = exchange_host_array
+        lo_need, hi_need = process_row_range(mesh, n, owned=owned)
+        if not (A.row_lo <= lo_need and hi_need <= A.row_hi):
+            raise ValueError(
+                f"row block [{A.row_lo}, {A.row_hi}) does not cover this "
+                f"process's shards (rows [{lo_need}, {hi_need})); load "
+                f"with load_matrix_rows(path, {lo_need}, {hi_need})"
+            )
+
+    t0 = time.perf_counter()
+    if is_block:
+        from gmres_tpu.precond.build import build_jacobi_rowblock
+
+        A_out = A.astype(np.dtype(out_dt))
+        A_in = A.astype(np.dtype(in_dt))
+        if cfg.precond == Precond.JACOBI:
+            M = build_jacobi_rowblock(
+                A, np.dtype(cfg.precision.precond_dtype), exchange
+            )
+        else:
+            M = IdentityPrec()
+    else:
+        # keep CSR here: the row partitioner consumes CSR (DIA repacking
+        # for the distributed path happens per-shard in halo.py, not yet
+        # globally)
+        A_out, A_in = prepare_operators(A, cfg.with_(auto_format=False))
+        M = build_preconditioner(A, cfg)
+    prec_seconds = time.perf_counter() - t0
+    stage_key = (n_shards, cfg.auto_format, str(out_dt), str(in_dt),
+                 str(cfg.precision.precond_dtype), cfg.precond,
+                 cfg.jacobi_steps, cfg.use_pallas, force_df64, multihost,
+                 force_sell)
 
     t1 = time.perf_counter()
     # one-time norms on the unpartitioned operands (single-device, O(n))
     b_arr = jnp.asarray(np.asarray(b), dtype=out_dt)
     b_norm = nrm2(b_arr).astype(_f64)
     minvb_norm = nrm2(typesafe_apply(M, b_arr.astype(in_dt))).astype(_f64)
-    if multihost:
+    if is_block:
+        # ||A||_F from per-process partial sums of squares (this process
+        # only holds its own rows' values)
+        av = np.asarray(A_in.vals, dtype=np.float64)
+        ss = exchange(np.array([np.dot(av, av)])).sum()
+        a_norm = jnp.asarray(np.sqrt(ss), dtype=_f64)
+    elif multihost:
         # host-side ||A||_F: nrm2 on device would upload the full nnz-long
         # vals array to every process's device 0
         av = np.asarray(A_in.vals, dtype=np.float64)
@@ -317,6 +393,7 @@ def solve_distributed(
             cfg.auto_format
             and cfg.use_pallas
             and in_dt == jnp.float32
+            and not is_block  # per-host SELL packing: future work
             and (A.n_rows >= 64 * 1024 or force_sell)
         ):
             from gmres_tpu.ops.dia import from_csr as _dia_try
@@ -345,9 +422,10 @@ def solve_distributed(
             M_p = _partition_prec(M, n_shards, use_halo=False,
                                   rows_per=rows_per, owned=owned)
         else:
-            Ao_p = _partition_matrix(A_out, n_shards, cfg.auto_format, owned)
+            Ao_p = _partition_matrix(A_out, n_shards, cfg.auto_format, owned,
+                                     exchange)
             Ai_p = Ao_p if A_in is A_out else _partition_matrix(
-                A_in, n_shards, cfg.auto_format, owned)
+                A_in, n_shards, cfg.auto_format, owned, exchange)
             M_p = _partition_prec(M, n_shards, cfg.auto_format, owned=owned)
         from gmres_tpu.parallel.partition import local_partition_nbytes
 

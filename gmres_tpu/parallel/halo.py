@@ -93,7 +93,7 @@ def _round_up(v: int, mult: int = 128) -> int:
     return max(mult, -(-v // mult) * mult)
 
 
-def partition_halo(A: CSRMatrix, n_shards: int, owned=None):
+def partition_halo(A: CSRMatrix, n_shards: int, owned=None, exchange=None):
     """Partition A for halo exchange.  Returns HaloDIA (banded), HaloCSR
     (irregular but neighbor-local), or None (fall back to allgather).
 
@@ -102,13 +102,24 @@ def partition_halo(A: CSRMatrix, n_shards: int, owned=None):
     (diagonal offsets, halo widths, acceptance gates) is computed from
     range-at-a-time structure scans whose transient footprint is
     O(global/P), so every process derives identical metadata from the
-    shared CSR structure with no communication."""
+    shared CSR structure with no communication.
+
+    ``A`` may be a ``RowBlockCSR`` (per-host INPUT: only the owned rows'
+    entries exist on this process).  The structure scans then cover only
+    the local block and the per-process metadata partials are combined
+    through ``exchange`` (``multihost.exchange_host_array``: a fixed-shape
+    ``np.ndarray -> (P, ...) stack`` allgather).  ``exchange=None`` treats
+    the local partials as global (single-process blocks)."""
+    from gmres_tpu.sparse import RowBlockCSR
+
     n = A.n_rows
     n_pad = padded_size(n, n_shards)
     r = n_pad // n_shards
 
-    if owned is not None:
-        return _partition_halo_owned(A, n_shards, owned, n_pad, r)
+    if owned is not None or isinstance(A, RowBlockCSR):
+        if owned is None:
+            owned = range(n_shards)
+        return _partition_halo_owned(A, n_shards, owned, n_pad, r, exchange)
 
     dia = from_csr(A)
     if dia is not None:
@@ -163,13 +174,22 @@ def partition_halo(A: CSRMatrix, n_shards: int, owned=None):
     )
 
 
-def _partition_halo_owned(A: CSRMatrix, n_shards: int, owned, n_pad: int,
-                          r: int):
+_MAX_DIAGS = 256  # from_csr's diagonal-count gate
+
+
+def _partition_halo_owned(A, n_shards: int, owned, n_pad: int,
+                          r: int, exchange=None):
     """Per-host ``partition_halo``: same acceptance gates and results as
     the global path (``ops/dia.py:from_csr`` fill/diag-count gates, halo
     width bounds), but value arrays are built only for ``owned`` shards
-    and every metadata pass scans one shard's row range at a time."""
+    and every metadata pass scans one shard's row range at a time.
+
+    With a ``RowBlockCSR`` input only the block's ranges are scannable;
+    the metadata partials (unique diagonal offsets — clipped at the
+    ``_MAX_DIAGS`` gate — and halo width bounds) are tiny fixed-shape
+    arrays combined across processes via ``exchange``."""
     from gmres_tpu.parallel.partition import ShardStack, partition_rows
+    from gmres_tpu.sparse import RowBlockCSR
 
     owned = sorted(set(owned))
     n = A.n_rows
@@ -177,11 +197,17 @@ def _partition_halo_owned(A: CSRMatrix, n_shards: int, owned, n_pad: int,
     nnz = int(rp[-1])
     if nnz == 0:
         return None
-    ci = np.asarray(A.col_idx)
-    v = np.asarray(A.vals)
+    is_block = isinstance(A, RowBlockCSR)
+    if is_block:
+        vdtype = A.vals.dtype
+    else:
+        ci = np.asarray(A.col_idx)
+        v = np.asarray(A.vals)
+        vdtype = v.dtype
 
-    def ranges():
-        for s in range(n_shards):
+    def ranges(scan_owned: bool):
+        shards = owned if scan_owned else range(n_shards)
+        for s in shards:
             lo, hi = s * r, min((s + 1) * r, n)
             if hi <= lo:
                 continue
@@ -190,49 +216,74 @@ def _partition_halo_owned(A: CSRMatrix, n_shards: int, owned, n_pad: int,
                 continue
             yield s, lo, hi, a, b
 
-    # --- pass 1: global diagonal-offset span (O(global/P) transient) ---
-    off_min, off_max = None, None
-    for s, lo, hi, a, b in ranges():
-        rows_s = np.repeat(np.arange(lo, hi, dtype=np.int64),
-                           np.diff(rp[lo:hi + 1]))
-        offs_s = ci[a:b].astype(np.int64) - rows_s
-        mn, mx = int(offs_s.min()), int(offs_s.max())
-        off_min = mn if off_min is None else min(off_min, mn)
-        off_max = mx if off_max is None else max(off_max, mx)
+    def entries(lo, hi, a, b):
+        if is_block:
+            return A.entries(lo, hi)
+        return ci[a:b], v[a:b]
 
-    # --- pass 2: presence bitmap over the span (same uniquing as from_csr) ---
-    span = off_max - off_min + 1
-    present = np.zeros(span, dtype=bool)
-    for s, lo, hi, a, b in ranges():
+    # --- pass 1+2: unique diagonal offsets (same uniquing as from_csr),
+    # scanned range at a time; per-process partials union'd via exchange.
+    # Local uniques above the _MAX_DIAGS gate are clipped — the global
+    # count can only be larger, so the gate outcome is unaffected. ---
+    local_offs = set()
+    overflow = False
+    for s, lo, hi, a, b in ranges(scan_owned=is_block):
         rows_s = np.repeat(np.arange(lo, hi, dtype=np.int64),
                            np.diff(rp[lo:hi + 1]))
-        present[ci[a:b].astype(np.int64) - rows_s - off_min] = True
-    uniq = np.flatnonzero(present) + off_min
-    D = uniq.shape[0]
+        ci_s, _ = entries(lo, hi, a, b)
+        offs_s = np.unique(ci_s.astype(np.int64) - rows_s)
+        local_offs.update(int(o) for o in offs_s)
+        if len(local_offs) > _MAX_DIAGS:
+            overflow = True
+            break
+    if is_block and exchange is not None:
+        payload = np.full(_MAX_DIAGS + 2, np.iinfo(np.int64).min, np.int64)
+        payload[0] = -1 if overflow else len(local_offs)
+        if not overflow:
+            payload[1 : 1 + len(local_offs)] = sorted(local_offs)
+        gathered = np.asarray(exchange(payload))
+        overflow = bool((gathered[:, 0] < 0).any())
+        if not overflow:
+            union = set()
+            for row in gathered:
+                union.update(int(o) for o in row[1 : 1 + int(row[0])])
+            local_offs = union
+            overflow = len(local_offs) > _MAX_DIAGS
+    uniq = np.array(sorted(local_offs), dtype=np.int64)
+    D = uniq.shape[0] if not overflow else _MAX_DIAGS + 1
 
     # from_csr's profitability gate (max_fill=3.0, max_diags=256)
-    if D <= 256 and D * n <= 3.0 * max(nnz, 1):
+    if D == 0:
+        # an empty owned block with no exchange: global structure is
+        # unknowable here; with exchange this implies nnz == 0 (handled
+        # above), so every process agrees on the fallback
+        return None
+    if D <= _MAX_DIAGS and D * n <= 3.0 * max(nnz, 1):
+        off_min = int(uniq.min())
+        span = int(uniq.max()) - off_min + 1
         hl = max(0, -int(uniq.min()))
         hr = max(0, int(uniq.max()))
         if hl <= r and hr <= r:
             lookup = np.zeros(span, dtype=np.int64)
             lookup[uniq - off_min] = np.arange(D)
             pieces = {}
-            by_shard = {s: (lo, hi, a, b) for s, lo, hi, a, b in ranges()}
+            by_shard = {s: (lo, hi, a, b)
+                        for s, lo, hi, a, b in ranges(scan_owned=is_block)}
             for s in owned:
                 if s not in by_shard:
-                    pieces[s] = np.zeros((D, r), dtype=v.dtype)
+                    pieces[s] = np.zeros((D, r), dtype=vdtype)
                     continue
                 lo, hi, a, b = by_shard[s]
                 rows_s = np.repeat(np.arange(lo, hi, dtype=np.int64),
                                    np.diff(rp[lo:hi + 1]))
-                d_idx = lookup[ci[a:b].astype(np.int64) - rows_s - off_min]
+                ci_s, v_s = entries(lo, hi, a, b)
+                d_idx = lookup[ci_s.astype(np.int64) - rows_s - off_min]
                 pieces[s] = np.bincount(
-                    d_idx * r + (rows_s - lo), weights=v[a:b],
+                    d_idx * r + (rows_s - lo), weights=v_s,
                     minlength=D * r,
-                ).reshape(D, r).astype(v.dtype)
+                ).reshape(D, r).astype(vdtype)
             return HaloDIA(
-                data=ShardStack((n_shards, D, r), np.dtype(v.dtype), pieces),
+                data=ShardStack((n_shards, D, r), np.dtype(vdtype), pieces),
                 offsets=tuple(int(o) for o in uniq),
                 n_shards=n_shards,
                 rows_per_shard=r,
@@ -244,14 +295,22 @@ def _partition_halo_owned(A: CSRMatrix, n_shards: int, owned, n_pad: int,
     # --- irregular: rebased CSR if all columns stay neighbor-local ---
     hl = hr = 0
     any_active = False
-    for s, lo, hi, a, b in ranges():
-        active = v[a:b] != 0
+    for s, lo, hi, a, b in ranges(scan_owned=is_block):
+        ci_s, v_s = entries(lo, hi, a, b)
+        active = v_s != 0
         if not active.any():
             continue
         any_active = True
-        rel = ci[a:b].astype(np.int64)[active] - s * r
+        rel = ci_s.astype(np.int64)[active] - s * r
         hl = max(hl, int(np.maximum(0, -rel.min())))
         hr = max(hr, int(np.maximum(0, rel.max() - (r - 1))))
+    if is_block and exchange is not None:
+        gathered = np.asarray(
+            exchange(np.array([hl, hr, int(any_active)], dtype=np.int64))
+        )
+        hl = int(gathered[:, 0].max())
+        hr = int(gathered[:, 1].max())
+        any_active = bool(gathered[:, 2].any())
     if not any_active or hl > r or hr > r:
         return None
     hl = min(_round_up(hl), r) if hl else 0

@@ -17,6 +17,7 @@ collectives) — see tests/test_multihost.py.
 from __future__ import annotations
 
 import jax
+import numpy as np
 
 
 def initialize(
@@ -46,3 +47,19 @@ def initialize(
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
     jax.distributed.initialize(**kwargs)
+
+
+def exchange_host_array(arr: np.ndarray) -> np.ndarray:
+    """Allgather a small fixed-shape host array across processes: returns
+    the ``(process_count,) + arr.shape`` stack, in process order.
+
+    The per-host partitioners (``halo.partition_halo`` on a
+    ``RowBlockCSR``) combine their metadata partials through this — the
+    payloads are O(hundreds of bytes), never data arrays.  Single-process
+    runs get a leading axis of 1 without touching the collectives.
+    """
+    if not jax.distributed.is_initialized() or jax.process_count() == 1:
+        return np.asarray(arr)[None]
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(np.asarray(arr)))

@@ -141,7 +141,14 @@ def partition_rows(A: CSRMatrix, n_shards: int, pad_multiple: int = 1024,
     ONLY for those shards, returning ``ShardStack`` leaves — the per-host
     partitioning mode for multi-host meshes.  The padding width K and all
     other metadata come from O(n) ``row_ptr`` scans, so they agree across
-    processes without communication."""
+    processes without communication.
+
+    ``A`` may be a ``RowBlockCSR`` (per-host INPUT, SURVEY.md §5.8 pod
+    scale): its global ``row_ptr`` drives all metadata and entry slices
+    come from ``A.entries`` — the owned shards must then sit inside the
+    loaded row block."""
+    from gmres_tpu.sparse import RowBlockCSR
+
     n = A.n_rows
     if rows_per is not None:
         assert rows_per * n_shards >= n, (rows_per, n_shards, n)
@@ -152,8 +159,13 @@ def partition_rows(A: CSRMatrix, n_shards: int, pad_multiple: int = 1024,
 
     rp = np.asarray(A.row_ptr).astype(np.int64)
     nnz = int(rp[-1])
-    ci = np.asarray(A.col_idx)[:nnz]
-    v = np.asarray(A.vals)[:nnz]
+    is_block = isinstance(A, RowBlockCSR)
+    if is_block:
+        vdtype = A.vals.dtype
+    else:
+        ci = np.asarray(A.col_idx)[:nnz]
+        v = np.asarray(A.vals)[:nnz]
+        vdtype = v.dtype
 
     # global padded row_ptr
     rp_pad = np.concatenate([rp, np.full(n_pad - n, rp[-1], dtype=np.int64)])
@@ -173,9 +185,16 @@ def partition_rows(A: CSRMatrix, n_shards: int, pad_multiple: int = 1024,
         )
         col_s = np.zeros((K,), dtype=np.int32)
         rid_s = np.full((K,), rows_per - 1, dtype=np.int32)
-        val_s = np.zeros((K,), dtype=v.dtype)
-        col_s[:cnt] = ci[lo:hi]
-        val_s[:cnt] = v[lo:hi]
+        val_s = np.zeros((K,), dtype=vdtype)
+        if is_block:
+            ci_s, v_s = A.entries(min(s * rows_per, n),
+                                  min((s + 1) * rows_per, n))
+            assert ci_s.shape[0] == cnt, (s, ci_s.shape[0], cnt)
+            col_s[:cnt] = ci_s
+            val_s[:cnt] = v_s
+        else:
+            col_s[:cnt] = ci[lo:hi]
+            val_s[:cnt] = v[lo:hi]
         rid_s[:cnt] = np.repeat(
             np.arange(rows_per, dtype=np.int32),
             np.diff(rp_pad[s * rows_per : (s + 1) * rows_per + 1]).astype(np.int64),
@@ -190,7 +209,7 @@ def partition_rows(A: CSRMatrix, n_shards: int, pad_multiple: int = 1024,
                                    rptr_pieces)
         col_stack = ShardStack((n_shards, K), np.dtype(np.int32), col_pieces)
         rid_stack = ShardStack((n_shards, K), np.dtype(np.int32), rid_pieces)
-        val_stack = ShardStack((n_shards, K), np.dtype(v.dtype), val_pieces)
+        val_stack = ShardStack((n_shards, K), np.dtype(vdtype), val_pieces)
     else:
         row_ptr_stack = np.stack([rptr_pieces[s] for s in range(n_shards)])
         col_stack = np.stack([col_pieces[s] for s in range(n_shards)])

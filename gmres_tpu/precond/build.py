@@ -123,6 +123,59 @@ def build_jacobi(A: CSRMatrix, dtype) -> JacobiPrec:
     return JacobiPrec(inv_diag=(1.0 / clamped).astype(dtype))
 
 
+def build_jacobi_rowblock(A_blk, dtype, exchange) -> JacobiPrec:
+    """``build_jacobi`` from a per-host ``RowBlockCSR`` (pod-scale input,
+    SURVEY.md §5.8): each process computes row sums / diagonal values for
+    its own rows only; the safeguard's GLOBAL ``alpha`` (f32 eps x max
+    row 1-norm, ``types.hpp:397-431``) and the assembled global inv_diag
+    come from two ``exchange`` rounds (``multihost.exchange_host_array``).
+    The result is bit-identical to ``build_jacobi`` on the full matrix.
+
+    The O(n) global inv_diag vector is deliberately replicated per host —
+    vectors are cheap relative to the O(nnz) matrix this mode avoids."""
+    lo, hi = A_blk.row_lo, A_blk.row_hi
+    n = A_blk.n_rows
+    rp = np.asarray(A_blk.row_ptr).astype(np.int64)
+    ci, v_raw = A_blk.entries(lo, hi)
+    ci = np.asarray(ci).astype(np.int64)
+    v = np.asarray(v_raw).astype(dtype).astype(np.float64)
+
+    nb = hi - lo
+    row_ids = np.repeat(np.arange(nb, dtype=np.int64), np.diff(rp[lo:hi + 1]))
+    row_abs = np.zeros(nb)
+    np.add.at(row_abs, row_ids, np.abs(v))
+    # round 1: the global max row 1-norm behind alpha
+    gmax = float(
+        exchange(np.array([row_abs.max(initial=0.0)])).max()
+    )
+    alpha = float(np.finfo(np.float32).eps) * gmax
+
+    diag_mask = ci == (row_ids + lo)
+    if int(diag_mask.sum()) != nb:
+        raise ValueError(
+            "row block lacks an explicit diagonal entry in some row; "
+            "load it with io.loader.load_matrix_rows (the reference "
+            "contract forces a diagonal)"
+        )
+    dv = v[diag_mask]
+    clamped = np.where(dv >= 0, np.maximum(dv, alpha), np.minimum(dv, -alpha))
+    inv_local = (1.0 / clamped).astype(dtype)
+
+    # round 2: assemble the global inv_diag from every process's block
+    # (fixed-shape payload: [row_lo, row_hi, padded piece])
+    max_rows = int(exchange(np.array([nb])).max())
+    payload = np.zeros(2 + max_rows, dtype=np.float64)
+    payload[0], payload[1] = lo, hi
+    payload[2 : 2 + nb] = inv_local.astype(np.float64)
+    gathered = exchange(payload)
+    inv_diag = np.ones(n, dtype=np.float64)  # rows no process owns: 1.0
+    for row in np.asarray(gathered):
+        a, b = int(row[0]), int(row[1])
+        inv_diag[a:b] = row[2 : 2 + (b - a)]
+    # host numpy like build_jacobi (callers pad/slice it before upload)
+    return JacobiPrec(inv_diag=inv_diag.astype(dtype))
+
+
 def build_ilu_jacobi(A: CSRMatrix, dtype, steps: int) -> ILUJacobiPrec:
     rp = np.asarray(A.row_ptr)
     nnz = int(rp[-1])
