@@ -263,7 +263,8 @@ def _plan_parts(chunk_blocks: np.ndarray, n_blocks_total: int):
 
 
 def autotune_wk(rows, ci, n_cols, nnz, W=None, K=None,
-                max_vreg_per_nnz: float = 24.0, sbmax_counter=None):
+                max_vreg_per_nnz: float = 24.0, sbmax_counter=None,
+                counts_exchange=None):
     """Pick (W, K) minimizing the per-chunk cost model; ``None`` when the
     estimated work per nonzero exceeds the gate (the XLA gather fallback is
     then no worse).  A caller-supplied W or K is held fixed; entries must
@@ -294,6 +295,11 @@ def autotune_wk(rows, ci, n_cols, nnz, W=None, K=None,
         bases = tuple(sbmax_counter(Wc))
         for Kc in K_cands:
             n_chunks = sum(int((-(-b // Kc)).sum()) for b in bases)
+            if counts_exchange is not None:
+                # per-host input: this process only scanned its own row
+                # block — sum the per-candidate chunk-count partials
+                # across processes (same candidate order everywhere)
+                n_chunks = int(counts_exchange(n_chunks))
             slot_bytes = 2 * Kc * C * 4
             cost = n_chunks * (
                 cm["fixed_ns"] + cm["ns_per_lane"] * Wc

@@ -106,12 +106,14 @@ def _partition_matrix(A: CSRMatrix, n_shards: int, use_halo: bool,
     return partition_rows(A, n_shards, owned=owned)
 
 
-def process_row_range(mesh: Mesh, n: int, owned=None) -> tuple[int, int]:
+def process_row_range(mesh: Mesh, n: int, owned=None,
+                      rows_per: int | None = None) -> tuple[int, int]:
     """The contiguous global row range this process's shards cover on a
     1-D row mesh — the range to pass to ``load_matrix_rows`` for pod-scale
-    per-host input.  Raises if the process's shards are not contiguous in
-    the mesh (an exotic device assignment this input form does not
-    support)."""
+    per-host input.  ``rows_per`` overrides the shard height (pass
+    ``sell_rows_per(n, P)`` when the solve will force the SELL format).
+    Raises if the process's shards are not contiguous in the mesh (an
+    exotic device assignment this input form does not support)."""
     if owned is None:
         pid = jax.process_index()
         owned = [s for s, d in enumerate(mesh.devices.flat)
@@ -124,7 +126,8 @@ def process_row_range(mesh: Mesh, n: int, owned=None) -> tuple[int, int]:
         )
     from gmres_tpu.parallel.partition import padded_size
 
-    r = padded_size(n, mesh.devices.size) // mesh.devices.size
+    r = (rows_per if rows_per is not None
+         else padded_size(n, mesh.devices.size) // mesh.devices.size)
     if not owned:
         return 0, 0
     return min(owned) * r, min(n, (max(owned) + 1) * r)
@@ -320,12 +323,23 @@ def solve_distributed(
         if owned is None:
             owned = frozenset(range(n_shards))
         exchange = exchange_host_array
-        lo_need, hi_need = process_row_range(mesh, n, owned=owned)
+        rows_per_need = None
+        if force_sell:
+            # SELL shards sit on a ROWS_PER_BLOCK-aligned grid wider than
+            # ceil(n/P) — the loaded block must cover THAT range
+            from gmres_tpu.parallel.sell_dist import sell_rows_per
+
+            rows_per_need = sell_rows_per(n, n_shards)
+        lo_need, hi_need = process_row_range(mesh, n, owned=owned,
+                                             rows_per=rows_per_need)
         if not (A.row_lo <= lo_need and hi_need <= A.row_hi):
             raise ValueError(
                 f"row block [{A.row_lo}, {A.row_hi}) does not cover this "
                 f"process's shards (rows [{lo_need}, {hi_need})); load "
                 f"with load_matrix_rows(path, {lo_need}, {hi_need})"
+                + (" — force_sell uses the SELL ROWS_PER_BLOCK-aligned "
+                   "shard grid (process_row_range(..., rows_per="
+                   "sell_rows_per(n, P)))" if force_sell else "")
             )
 
     t0 = time.perf_counter()
@@ -393,19 +407,24 @@ def solve_distributed(
             cfg.auto_format
             and cfg.use_pallas
             and in_dt == jnp.float32
-            and not is_block  # per-host SELL packing: future work
+            # per-host INPUT can't run the global DIA check — SELL there
+            # is opt-in via force_sell (the caller knows its pattern)
+            and (not is_block or force_sell)
             and (A.n_rows >= 64 * 1024 or force_sell)
         ):
-            from gmres_tpu.ops.dia import from_csr as _dia_try
+            route_sell = force_sell
+            if not is_block and not route_sell:
+                from gmres_tpu.ops.dia import from_csr as _dia_try
 
-            if _dia_try(A) is None:
+                route_sell = _dia_try(A) is None
+            if route_sell:
                 from gmres_tpu.parallel.sell_dist import partition_sell
 
                 want_df64 = out_dt == jnp.float64 and (
                     jax.default_backend() == "tpu" or force_df64
                 )
                 psell = partition_sell(A, n_shards, df64=want_df64,
-                                       owned=owned)
+                                       owned=owned, exchange=exchange)
         if psell is not None:
             Ai_p = psell
             rows_per = psell.rows_per_shard

@@ -199,6 +199,13 @@ def _pad_chunks(arrs, n_pad, last_slab=None):
     return np.concatenate([np.asarray(a), pad])
 
 
+def sell_rows_per(n: int, n_shards: int) -> int:
+    """The SELL partition's shard height: rows per shard rounded up to a
+    multiple of ROWS_PER_BLOCK (larger than the plain ceil(n/P) blocks —
+    per-host loaders must use THIS grid for SELL-routed solves)."""
+    return -(-n // (n_shards * ROWS_PER_BLOCK)) * ROWS_PER_BLOCK
+
+
 def partition_sell(
     A: CSRMatrix,
     n_shards: int,
@@ -208,6 +215,7 @@ def partition_sell(
     K: int | None = None,
     max_vreg_per_nnz: float = 24.0,
     owned=None,
+    exchange=None,
 ) -> PartitionedSELL | None:
     """Partition A into per-shard SELL packs with shared (W, K).
 
@@ -223,9 +231,17 @@ def partition_sell(
     processes), but each transient pack is dropped immediately, so peak
     host memory stays ~(owned + 1)/P of the global pack instead of P/P.
     The (W, K) autotune likewise scans one shard's structure at a time.
-    """
+
+    ``A`` may be a ``RowBlockCSR`` (per-host INPUT: only the owned rows'
+    entries exist here — the block must cover the owned shards on the
+    ``sell_rows_per`` grid).  Unowned shards are then never packed; the
+    shared metadata (autotune chunk counts, padding maxima) is combined
+    across processes through ``exchange``
+    (``multihost.exchange_host_array``)."""
+    from gmres_tpu.sparse import RowBlockCSR
+
     n = A.n_rows
-    rows_per = -(-n // (n_shards * ROWS_PER_BLOCK)) * ROWS_PER_BLOCK
+    rows_per = sell_rows_per(n, n_shards)
     n_pad = rows_per * n_shards
     n_blocks = rows_per // ROWS_PER_BLOCK
 
@@ -233,6 +249,9 @@ def partition_sell(
     nnz = int(rp[-1])
     if nnz == 0:
         return None
+    is_block = isinstance(A, RowBlockCSR)
+    if is_block and owned is None:
+        owned = range(n_shards)
 
     if owned is None:
         ci = np.asarray(A.col_idx)[:nnz].astype(np.int64)
@@ -262,8 +281,9 @@ def partition_sell(
             return _csr_rows(rp, ci, v, lo, hi, rows_per, n_pad)
     else:
         owned = sorted(set(owned))
-        ci_raw = np.asarray(A.col_idx)
-        v_raw = np.asarray(A.vals)
+        if not is_block:
+            ci_raw = np.asarray(A.col_idx)
+            v_raw = np.asarray(A.vals)
 
         def local_csr(s):
             """Shard s's rows as a sorted local CSR (O(global/P) transient;
@@ -272,12 +292,17 @@ def partition_sell(
             hi = min((s + 1) * rows_per, n)
             if hi <= lo or rp[hi] == rp[lo]:
                 return None
-            a, b = int(rp[lo]), int(rp[hi])
+            if is_block:
+                ci_l, v_l = A.entries(lo, hi)
+                ci_l = np.asarray(ci_l).astype(np.int64)
+                v_l = np.asarray(v_l)
+            else:
+                a, b = int(rp[lo]), int(rp[hi])
+                ci_l = ci_raw[a:b].astype(np.int64)
+                v_l = v_raw[a:b]
             rows_l = np.repeat(
                 np.arange(hi - lo, dtype=np.int64), np.diff(rp[lo:hi + 1])
             )
-            ci_l = ci_raw[a:b].astype(np.int64)
-            v_l = v_raw[a:b]
             key = rows_l * np.int64(n_pad) + ci_l
             if not np.all(key[1:] >= key[:-1]):
                 order = np.argsort(key, kind="stable")
@@ -293,15 +318,23 @@ def partition_sell(
         if W is None or K is None:
             from gmres_tpu.ops.sell import _chunk_sb_max
 
+            scan_shards = owned if is_block else range(n_shards)
+
             def sb_counter(Wc):
-                for s in range(n_shards):
+                for s in scan_shards:
                     loc = local_csr(s)
                     if loc is None:
                         continue
                     yield _chunk_sb_max(loc._rows, loc.col_idx, n_pad, Wc)
 
+            counts_exchange = None
+            if is_block and exchange is not None:
+                counts_exchange = (
+                    lambda c: exchange(np.array([c], np.int64)).sum()
+                )
             tuned = autotune_wk(None, None, n_pad, nnz, W, K,
-                                max_vreg_per_nnz, sbmax_counter=sb_counter)
+                                max_vreg_per_nnz, sbmax_counter=sb_counter,
+                                counts_exchange=counts_exchange)
             if tuned is None:
                 return None
             W, K = tuned
@@ -309,7 +342,10 @@ def partition_sell(
     metas = []   # per shard: (n_chunks, n_dense, n_dense_blocks)
     packs = {}   # shard -> retained snapshot (all shards when owned=None)
     retain = set(range(n_shards)) if owned is None else set(owned)
-    for s in range(n_shards):
+    # per-host INPUT: unowned shards cannot be packed (their entries are
+    # on other processes) — the padding maxima come from an exchange below
+    scan = sorted(retain) if is_block else range(n_shards)
+    for s in scan:
         local = local_csr(s)
         if local is None:
             if s in retain:
@@ -354,6 +390,40 @@ def partition_sell(
         del sell
 
     # --- pad chunk lists to the shard maximum ---
+    if is_block and exchange is not None:
+        # combine the padding metadata across processes (each saw only its
+        # owned shards): [max chunks, any dense, max dense chunks, any
+        # shard WITHOUT a dense side, max dense blocks]
+        payload = np.array([
+            max((m.n_chunks for m in metas), default=0),
+            int(any(m.n_dense for m in metas)),
+            max((m.n_dense for m in metas), default=0),
+            int(any(m.n_dense == 0 for m in metas)),
+            max((m.ndb for m in metas), default=1),
+        ], dtype=np.int64)
+        g = np.asarray(exchange(payload))
+        max_nc = int(g[:, 0].max())
+        has_dense = bool(g[:, 1].any())
+        g_max_nd = int(g[:, 2].max())
+        g_any_zero_nd = bool(g[:, 3].any())
+        g_max_ndb = int(g[:, 4].max())
+        if has_dense:
+            cov_slab = np.arange(n_blocks, dtype=np.int32) * SLABS_PER_BLOCK
+            for p in packs.values():
+                if not p.n_dense:
+                    p.dense_bucket = np.zeros((n_blocks,), np.int32)
+                    p.dense_slab = cov_slab
+                    p.dense_vidx = np.zeros((n_blocks,), np.int32)
+                    p.n_dense = n_blocks
+            max_ndc = max(g_max_nd, n_blocks if g_any_zero_nd else 0)
+            max_ndb = g_max_ndb
+        else:
+            max_ndc, max_ndb = 0, 1
+        return _assemble_partitioned_sell(
+            packs, owned, n_shards, rows_per, n, n_pad, nnz, W, K,
+            n_blocks, max_nc, has_dense, max_ndc, max_ndb, df64, dtype,
+        )
+
     max_nc = max(m.n_chunks for m in metas)
     has_dense = any(m.n_dense for m in metas)
     if has_dense:
@@ -374,7 +444,18 @@ def partition_sell(
         max_ndb = max(m.ndb for m in metas)
     else:
         max_ndc, max_ndb = 0, 1
+    return _assemble_partitioned_sell(
+        packs, owned, n_shards, rows_per, n, n_pad, nnz, W, K,
+        n_blocks, max_nc, has_dense, max_ndc, max_ndb, df64, dtype,
+    )
 
+
+def _assemble_partitioned_sell(packs, owned, n_shards, rows_per, n, n_pad,
+                               nnz, W, K, n_blocks, max_nc, has_dense,
+                               max_ndc, max_ndb, df64, dtype):
+    """Stack the retained per-shard packs (padded to the shared maxima)
+    into a PartitionedSELL — the tail shared by the single-host, per-host
+    (owned) and per-host-input (RowBlockCSR + exchange) paths."""
     def finish(pieces, empty_trailing_shape, empty_dtype):
         """Stack (single-host) or wrap as ShardStack (per-host)."""
         if owned is None:

@@ -219,3 +219,80 @@ def test_process_row_range_contiguous():
     assert (lo, hi) == (2 * r, min(100, 4 * r))
     with pytest.raises(ValueError, match="contiguous"):
         process_row_range(mesh, 100, owned=[0, 2])
+
+
+def test_partition_sell_block_matches_global():
+    from gmres_tpu.io.synth import unstructured_mesh
+    from gmres_tpu.parallel.sell_dist import partition_sell, sell_rows_per
+
+    A = unstructured_mesh(4096, run=3, seed=2)
+    full = partition_sell(A, 4)
+    assert full is not None
+
+    # per-process blocks on the SELL shard grid
+    r = sell_rows_per(A.n_rows, 4)
+    rp = np.asarray(A.row_ptr).astype(np.int64)
+
+    def blocks_fn(n_procs):
+        per = 4 // n_procs
+        out = []
+        for p in range(n_procs):
+            lo = min(p * per * r, A.n_rows)
+            hi = min((p + 1) * per * r, A.n_rows)
+            out.append((_to_block(A, lo, hi),
+                        list(range(p * per, (p + 1) * per))))
+        return out
+
+    ex = FakeExchange()
+    logs = [[] for _ in range(2)]
+    bl = blocks_fn(2)
+    for p, (blk, shards) in enumerate(bl):
+        try:
+            partition_sell(blk, 4, owned=shards,
+                           exchange=ex.for_proc(p, logs[p]))
+        except Exception:
+            pass
+    rounds = [dict(rr) for rr in ex.rounds]
+    for p, (blk, shards) in enumerate(bl):
+        calls = {"i": 0}
+
+        def exchange(arr, p=p, calls=calls):
+            rr = calls["i"]
+            calls["i"] += 1
+            fullr = dict(rounds[rr])
+            fullr[p] = np.asarray(arr)
+            return np.stack([fullr[q] for q in sorted(fullr)])
+
+        part = partition_sell(blk, 4, owned=shards, exchange=exchange)
+        assert part is not None
+        assert (part.W, part.K) == (full.W, full.K)
+        assert part.n_chunks == full.n_chunks
+        assert part.n_dense_chunks == full.n_dense_chunks
+        for s in shards:
+            np.testing.assert_array_equal(part.packed.pieces[s],
+                                          np.asarray(full.packed)[s])
+            np.testing.assert_array_equal(part.slab.pieces[s],
+                                          np.asarray(full.slab)[s])
+            np.testing.assert_array_equal(part.bucket.pieces[s],
+                                          np.asarray(full.bucket)[s])
+
+
+def test_solve_rowblock_force_sell_matches_full():
+    from gmres_tpu.io.synth import unstructured_mesh
+
+    A = unstructured_mesh(2048, run=3, seed=6)
+    blk = _to_block(A, 0, A.n_rows)
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("mixed"),
+        orth="cgsr", precond="jacobi",
+        restart_length=15, tol=1e-9, max_restarts=80,
+    )
+    r_full = solve_distributed(A, b, cfg, force_sell=True)
+    r_blk = solve_distributed(blk, b, cfg, force_sell=True)
+    assert r_blk.converged and r_full.converged
+    assert (r_blk.restarts, r_blk.total_iters) == (
+        r_full.restarts, r_full.total_iters)
+    np.testing.assert_allclose(np.asarray(r_blk.x), np.asarray(r_full.x),
+                               rtol=0, atol=0)
