@@ -49,6 +49,10 @@ from gmres_tpu.sparse import CSRMatrix
 _f64 = jnp.float64
 AXIS = "rows"
 
+# below this the SELL fast path is not worth its pack cost (same scale
+# where the single-device stage() starts routing unstructured CSR to SELL)
+_SELL_MIN_ROWS = 64 * 1024
+
 # id-keyed, weakref-cleaned staging cache for partitioned+uploaded operators
 # (the same pattern as solver.gmres._STAGING_CACHE)
 _DIST_STAGE_CACHE: dict = {}
@@ -107,13 +111,30 @@ def _partition_matrix(A: CSRMatrix, n_shards: int, use_halo: bool,
 
 
 def process_row_range(mesh: Mesh, n: int, owned=None,
-                      rows_per: int | None = None) -> tuple[int, int]:
+                      rows_per: int | None = None,
+                      fmt: str = "csr") -> tuple[int, int]:
     """The contiguous global row range this process's shards cover on a
     1-D row mesh — the range to pass to ``load_matrix_rows`` for pod-scale
     per-host input.  ``rows_per`` overrides the shard height (pass
     ``sell_rows_per(n, P)`` when the solve will force the SELL format).
-    Raises if the process's shards are not contiguous in the mesh (an
-    exotic device assignment this input form does not support)."""
+    ``fmt='auto'``: the union of the plain (ceil) shard grid and the SELL
+    ROWS_PER_BLOCK-aligned grid — the range to load when format routing is
+    left to the solver (the cross-process DIA structure vote may route an
+    unstructured pattern to per-shard SELL, whose shards sit on the wider
+    grid).  Raises if the process's shards are not contiguous in the mesh
+    (an exotic device assignment this input form does not support)."""
+    if fmt == "auto":
+        if rows_per is not None:
+            raise ValueError("pass either rows_per or fmt='auto', not both")
+        from gmres_tpu.parallel.sell_dist import sell_rows_per
+
+        lo1, hi1 = process_row_range(mesh, n, owned=owned)
+        lo2, hi2 = process_row_range(
+            mesh, n, owned=owned, rows_per=sell_rows_per(n, mesh.devices.size)
+        )
+        return min(lo1, lo2), max(hi1, hi2)
+    if fmt != "csr":
+        raise ValueError(f"unknown fmt {fmt!r} (use 'csr' or 'auto')")
     if owned is None:
         pid = jax.process_index()
         owned = [s for s, d in enumerate(mesh.devices.flat)
@@ -303,6 +324,7 @@ def solve_distributed(
             s for s, d in enumerate(mesh.devices.flat)
             if d.process_index == pid
         )
+    want_sell = force_sell  # refined below for per-host input (auto vote)
     if is_block:
         # per-host INPUT (pod scale): this process never saw the global
         # entry arrays — only its loaded row block
@@ -323,8 +345,23 @@ def solve_distributed(
         if owned is None:
             owned = frozenset(range(n_shards))
         exchange = exchange_host_array
+        if (
+            not want_sell
+            and cfg.auto_format
+            and cfg.use_pallas
+            and in_dt == jnp.float32
+            and n >= _SELL_MIN_ROWS
+        ):
+            # auto format routing for per-host input: the single-host route
+            # checks the GLOBAL pattern against dia.from_csr — here no
+            # process has it, so the DIA gate is a cross-process structure
+            # vote (one fixed-shape allgather of per-block diagonal-offset
+            # partials; every process derives the same verdict)
+            from gmres_tpu.parallel.halo import rowblock_dia_gate
+
+            want_sell = not rowblock_dia_gate(A, exchange)
         rows_per_need = None
-        if force_sell:
+        if want_sell:
             # SELL shards sit on a ROWS_PER_BLOCK-aligned grid wider than
             # ceil(n/P) — the loaded block must cover THAT range
             from gmres_tpu.parallel.sell_dist import sell_rows_per
@@ -332,7 +369,30 @@ def solve_distributed(
             rows_per_need = sell_rows_per(n, n_shards)
         lo_need, hi_need = process_row_range(mesh, n, owned=owned,
                                              rows_per=rows_per_need)
-        if not (A.row_lo <= lo_need and hi_need <= A.row_hi):
+        covers = A.row_lo <= lo_need and hi_need <= A.row_hi
+        if want_sell and not force_sell:
+            # auto-routed SELL: every process must take the same route, so
+            # if ANY loaded block is too narrow for the SELL shard grid all
+            # of them fall back together (one tiny lockstep allgather)
+            all_cover = bool(np.asarray(
+                exchange(np.array([int(covers)], dtype=np.int64))
+            ).all())
+            if not all_cover:
+                import warnings
+
+                warnings.warn(
+                    "unstructured per-host input would route to SELL, but "
+                    f"the loaded row block [{A.row_lo}, {A.row_hi}) does "
+                    f"not cover the SELL shard grid (rows [{lo_need}, "
+                    f"{hi_need})) on every process; falling back to the "
+                    "allgather path — load with process_row_range(mesh, n, "
+                    "fmt='auto') to enable the SELL fast path"
+                )
+                want_sell = False
+                rows_per_need = None
+                lo_need, hi_need = process_row_range(mesh, n, owned=owned)
+                covers = A.row_lo <= lo_need and hi_need <= A.row_hi
+        if not covers:
             raise ValueError(
                 f"row block [{A.row_lo}, {A.row_hi}) does not cover this "
                 f"process's shards (rows [{lo_need}, {hi_need})); load "
@@ -364,7 +424,7 @@ def solve_distributed(
     stage_key = (n_shards, cfg.auto_format, str(out_dt), str(in_dt),
                  str(cfg.precision.precond_dtype), cfg.precond,
                  cfg.jacobi_steps, cfg.use_pallas, force_df64, multihost,
-                 force_sell)
+                 want_sell)
 
     t1 = time.perf_counter()
     # one-time norms on the unpartitioned operands (single-device, O(n))
@@ -407,12 +467,12 @@ def solve_distributed(
             cfg.auto_format
             and cfg.use_pallas
             and in_dt == jnp.float32
-            # per-host INPUT can't run the global DIA check — SELL there
-            # is opt-in via force_sell (the caller knows its pattern)
-            and (not is_block or force_sell)
-            and (A.n_rows >= 64 * 1024 or force_sell)
+            # per-host INPUT already decided above (force_sell or the
+            # cross-process DIA structure vote)
+            and (not is_block or want_sell)
+            and (A.n_rows >= _SELL_MIN_ROWS or want_sell)
         ):
-            route_sell = force_sell
+            route_sell = want_sell
             if not is_block and not route_sell:
                 from gmres_tpu.ops.dia import from_csr as _dia_try
 

@@ -177,6 +177,64 @@ def partition_halo(A: CSRMatrix, n_shards: int, owned=None, exchange=None):
 _MAX_DIAGS = 256  # from_csr's diagonal-count gate
 
 
+def rowblock_dia_gate(A, exchange=None, max_fill: float = 3.0,
+                      max_diags: int = _MAX_DIAGS) -> bool:
+    """Cross-process structure vote for auto format routing of per-host
+    input (SURVEY.md §5.8): would the GLOBAL pattern DIA-ify under
+    ``ops/dia.py:from_csr``'s profitability gates (distinct-diagonal count
+    and fill bounds)?  Each process scans only its own loaded rows (a
+    ``RowBlockCSR``; overlapping blocks are fine — offsets combine as a
+    set union) and the per-process offset partials merge through ONE
+    fixed-shape ``exchange`` round, so every process derives the same
+    verdict in lockstep.  ``exchange=None`` treats the local scan as
+    global (single-process / whole-range blocks)."""
+    from gmres_tpu.sparse import RowBlockCSR
+
+    n = A.n_rows
+    rp = np.asarray(A.row_ptr).astype(np.int64)
+    nnz = int(rp[-1])
+    if isinstance(A, RowBlockCSR):
+        lo, hi = A.row_lo, A.row_hi
+        ci, _ = A.entries(lo, hi)
+    else:
+        lo, hi = 0, n
+        ci = np.asarray(A.col_idx)[:nnz]
+    offs = ci.astype(np.int64) - np.repeat(
+        np.arange(lo, hi, dtype=np.int64), np.diff(rp[lo : hi + 1])
+    )
+    if offs.shape[0]:
+        # bounded-range unique via a presence bitmap (no nnz-scale sort on
+        # the single-core host; same trick as from_csr)
+        off_min = int(offs.min())
+        present = np.zeros(int(offs.max()) - off_min + 1, dtype=bool)
+        present[offs - off_min] = True
+        uniq = np.flatnonzero(present) + off_min
+    else:
+        uniq = np.zeros(0, dtype=np.int64)
+    overflow = uniq.shape[0] > max_diags
+    if exchange is not None:
+        # every process MUST call exchange exactly once here (lockstep),
+        # including overflowed ones (they signal with a -1 count)
+        payload = np.full(max_diags + 2, np.iinfo(np.int64).min, np.int64)
+        payload[0] = -1 if overflow else uniq.shape[0]
+        if not overflow:
+            payload[1 : 1 + uniq.shape[0]] = uniq
+        gathered = np.asarray(exchange(payload))
+        if (gathered[:, 0] < 0).any():
+            return False
+        union: set[int] = set()
+        for row in gathered:
+            union.update(int(o) for o in row[1 : 1 + int(row[0])])
+        D = len(union)
+    else:
+        if overflow:
+            return False
+        D = uniq.shape[0]
+    if nnz == 0:
+        return False
+    return D <= max_diags and D * n <= max_fill * nnz
+
+
 def _partition_halo_owned(A, n_shards: int, owned, n_pad: int,
                           r: int, exchange=None):
     """Per-host ``partition_halo``: same acceptance gates and results as
