@@ -40,6 +40,10 @@ class Precond(str, enum.Enum):
     ILU_JACOBI = "ilu_jacobi"    # ILU(0), Jacobi-iteration triangular solves
     JACOBI = "jacobi"            # inverse main diagonal
     IDENTITY = "identity"
+    # distributed-only (new scope vs the single-device reference): each
+    # shard factors its diagonal block; application is communication-free
+    # and factorization divides by P (precond/bilu.py)
+    BILU_JACOBI = "bilu_jacobi"
 
 
 class RestartPolicy(str, enum.Enum):

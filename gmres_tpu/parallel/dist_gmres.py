@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gmres_tpu.config import GmresConfig
+from gmres_tpu.config import GmresConfig, Precond
 from gmres_tpu.ops.blas import nrm2
 from gmres_tpu.precond.apply import typesafe_apply
 from gmres_tpu.precond.build import (
@@ -94,6 +94,16 @@ class DistILUJacobiPrec:
     steps: int
 
 
+@dataclasses.dataclass(frozen=True)
+class _PendingBILU:
+    """Host-side marker: block-Jacobi ILU factors are built AT partition
+    time (they need the final shard height, which depends on format
+    routing) — see ``_partition_prec`` / ``precond/bilu.py``."""
+
+    steps: int
+    dtype: np.dtype
+
+
 def _partition_matrix(A: CSRMatrix, n_shards: int, use_halo: bool,
                       owned=None, exchange=None):
     """Halo partition when the pattern allows (neighbor-local coupling),
@@ -155,11 +165,22 @@ def process_row_range(mesh: Mesh, n: int, owned=None,
 
 
 def _partition_prec(M, n_shards: int, use_halo: bool = True,
-                    rows_per: int | None = None, owned=None):
+                    rows_per: int | None = None, owned=None,
+                    A=None, exchange=None):
     """``rows_per`` (from a SELL-partitioned operator) forces every piece
-    onto the same ROWS_PER_BLOCK-aligned shard height."""
+    onto the same ROWS_PER_BLOCK-aligned shard height.  ``A``/``exchange``
+    serve the block-Jacobi ILU build (factors are per-shard, so they are
+    built here where the final shard height is known)."""
     if isinstance(M, IdentityPrec):
         return M
+    if isinstance(M, _PendingBILU):
+        from gmres_tpu.parallel.partition import padded_size
+        from gmres_tpu.precond.bilu import build_bilu_jacobi
+
+        r = (rows_per if rows_per is not None
+             else padded_size(A.n_rows, n_shards) // n_shards)
+        return build_bilu_jacobi(A, n_shards, r, M.dtype, M.steps,
+                                 owned=owned, exchange=exchange)
     if isinstance(M, JacobiPrec):
         # padded rows get inv_diag 1.0: they only ever see zero inputs
         pad = pad_vector(np.asarray(M.inv_diag), n_shards, rows_per)
@@ -207,6 +228,8 @@ def _localize_matrix(A):
 
 def _localize_prec(M):
     """Inside shard_map: rebuild the shard-local preconditioner."""
+    from gmres_tpu.precond.bilu import BlockILUCSR, BlockILUDia, localize_bilu
+
     if isinstance(M, DistILUJacobiPrec):
         return ILUJacobiPrec(
             lower=_localize_matrix(M.lower),
@@ -214,6 +237,8 @@ def _localize_prec(M):
             inv_diag=M.inv_diag,
             steps=M.steps,
         )
+    if isinstance(M, (BlockILUDia, BlockILUCSR)):
+        return localize_bilu(M)
     return M
 
 
@@ -270,6 +295,22 @@ def make_distributed_cycle(cfg: GmresConfig, mesh: Mesh):
     return chunked, cfg
 
 
+@functools.lru_cache(maxsize=32)
+def _make_bilu_minvb(cfg: GmresConfig, mesh: Mesh):
+    """jitted ``||M^{-1} b||`` for block-ILU factors (device-side, the
+    factors only exist in partitioned form).  Memoized on (cfg, mesh) so
+    repeated solves reuse the compiled apply."""
+    in_dt = cfg.precision.inner_dtype
+
+    def local(Mv, bl):
+        w = typesafe_apply(_localize_prec(Mv), bl.astype(in_dt), None,
+                           cfg.use_pallas)
+        return jax.lax.psum(jnp.sum(w.astype(jnp.float64) ** 2), AXIS)
+
+    fn = _shard_map(local, mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P())
+    return jax.jit(lambda Mv, bl: jnp.sqrt(fn(Mv, bl)))
+
+
 def solve_distributed(
     A: CSRMatrix,
     b,
@@ -319,28 +360,34 @@ def solve_distributed(
     owned = None
     exchange = None
     if multihost:
+        from gmres_tpu.parallel.multihost import exchange_host_array
+
         pid = jax.process_index()
         owned = frozenset(
             s for s, d in enumerate(mesh.devices.flat)
             if d.process_index == pid
         )
+        exchange = exchange_host_array
     want_sell = force_sell  # refined below for per-host input (auto vote)
     if is_block:
         # per-host INPUT (pod scale): this process never saw the global
         # entry arrays — only its loaded row block
         # (io.loader.load_matrix_rows).  Metadata partials go through the
         # host allgather; preconditioners that need the global pattern
-        # (ILU factorization is inherently a global sequential pass) are
-        # out of scope for this input form.
-        from gmres_tpu.config import Precond
+        # (GLOBAL ILU(0) factorization is inherently a sequential pass)
+        # are out of scope for this input form — block-Jacobi ILU
+        # (precond='bilu_jacobi') is the per-host ILU.
         from gmres_tpu.parallel.multihost import exchange_host_array
 
-        if cfg.precond not in (Precond.IDENTITY, Precond.JACOBI):
+        if cfg.precond not in (Precond.IDENTITY, Precond.JACOBI,
+                               Precond.BILU_JACOBI):
             raise ValueError(
                 f"prec={cfg.precond.value} needs the global matrix "
-                "(ILU(0) factorization is a global sequential pass); "
-                "per-host RowBlockCSR input supports identity/jacobi — "
-                "pass the full CSRMatrix for ILU preconditioning"
+                "(global ILU(0) factorization is a sequential pass); "
+                "per-host RowBlockCSR input supports identity/jacobi/"
+                "bilu_jacobi (block-Jacobi ILU factors each shard's "
+                "diagonal block locally) — pass the full CSRMatrix for "
+                "global ILU preconditioning"
             )
         if owned is None:
             owned = frozenset(range(n_shards))
@@ -412,6 +459,9 @@ def solve_distributed(
             M = build_jacobi_rowblock(
                 A, np.dtype(cfg.precision.precond_dtype), exchange
             )
+        elif cfg.precond == Precond.BILU_JACOBI:
+            M = _PendingBILU(steps=cfg.jacobi_steps,
+                             dtype=np.dtype(cfg.precision.precond_dtype))
         else:
             M = IdentityPrec()
     else:
@@ -419,7 +469,11 @@ def solve_distributed(
         # for the distributed path happens per-shard in halo.py, not yet
         # globally)
         A_out, A_in = prepare_operators(A, cfg.with_(auto_format=False))
-        M = build_preconditioner(A, cfg)
+        if cfg.precond == Precond.BILU_JACOBI:
+            M = _PendingBILU(steps=cfg.jacobi_steps,
+                             dtype=np.dtype(cfg.precision.precond_dtype))
+        else:
+            M = build_preconditioner(A, cfg)
     prec_seconds = time.perf_counter() - t0
     stage_key = (n_shards, cfg.auto_format, str(out_dt), str(in_dt),
                  str(cfg.precision.precond_dtype), cfg.precond,
@@ -430,7 +484,10 @@ def solve_distributed(
     # one-time norms on the unpartitioned operands (single-device, O(n))
     b_arr = jnp.asarray(np.asarray(b), dtype=out_dt)
     b_norm = nrm2(b_arr).astype(_f64)
-    minvb_norm = nrm2(typesafe_apply(M, b_arr.astype(in_dt))).astype(_f64)
+    if isinstance(M, _PendingBILU):
+        minvb_norm = None  # needs the partitioned factors; computed below
+    else:
+        minvb_norm = nrm2(typesafe_apply(M, b_arr.astype(in_dt))).astype(_f64)
     if is_block:
         # ||A||_F from per-process partial sums of squares (this process
         # only holds its own rows' values)
@@ -499,13 +556,15 @@ def solve_distributed(
                 Ao_p = partition_rows(A_out, n_shards, rows_per=rows_per,
                                       owned=owned)
             M_p = _partition_prec(M, n_shards, use_halo=False,
-                                  rows_per=rows_per, owned=owned)
+                                  rows_per=rows_per, owned=owned,
+                                  A=A, exchange=exchange)
         else:
             Ao_p = _partition_matrix(A_out, n_shards, cfg.auto_format, owned,
                                      exchange)
             Ai_p = Ao_p if A_in is A_out else _partition_matrix(
                 A_in, n_shards, cfg.auto_format, owned, exchange)
-            M_p = _partition_prec(M, n_shards, cfg.auto_format, owned=owned)
+            M_p = _partition_prec(M, n_shards, cfg.auto_format, owned=owned,
+                                  A=A, exchange=exchange)
         from gmres_tpu.parallel.partition import local_partition_nbytes
 
         partition_local_bytes = (
@@ -583,6 +642,11 @@ def solve_distributed(
     rows_eff = getattr(Ai_p, "rows_per_shard", None)
     b_pad = _to_device(pad_vector(np.asarray(b, dtype=out_dt), n_shards,
                                   rows_eff))
+    if minvb_norm is None:
+        # block-Jacobi ILU: ||M^{-1}b|| needs the partitioned factors —
+        # one tiny shard_map'd apply (communication: a single psum);
+        # padded rows contribute exact zeros (empty factor rows, b=0)
+        minvb_norm = _make_bilu_minvb(cfg, mesh)(M_p, b_pad).astype(_f64)
     if x0 is None:
         x = jax.jit(jnp.zeros_like, out_shardings=shard0)(b_pad)
     else:

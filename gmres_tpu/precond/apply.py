@@ -30,6 +30,10 @@ from gmres_tpu.precond.build import (
 
 def _ilu_jacobi_apply(M: ILUJacobiPrec, w: jax.Array, axis_name: str | None,
                       use_pallas: bool = True):
+    if M.block_local:
+        # block-Jacobi ILU factors are diagonal blocks: every sweep is
+        # shard-local, no collectives (precond/bilu.py)
+        axis_name = None
     b = w
 
     def l_sweep(_, x):

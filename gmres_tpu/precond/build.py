@@ -47,7 +47,7 @@ class JacobiPrec:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("lower", "upper", "inv_diag"),
-    meta_fields=("steps",),
+    meta_fields=("steps", "block_local"),
 )
 @dataclasses.dataclass(frozen=True)
 class ILUJacobiPrec:
@@ -60,12 +60,16 @@ class ILUJacobiPrec:
     ``steps``: Jacobi sweeps per triangle; for the exact-ILU variant this is
     the pattern's dependency-level count, at which the (nilpotent) iteration
     reproduces the exact triangular solve.
+    ``block_local``: the factors are shard-local diagonal blocks
+    (block-Jacobi ILU, ``precond/bilu.py``) — sweeps then run WITHOUT the
+    mesh axis (no collectives inside the apply).
     """
 
     lower: CSRMatrix
     upper: CSRMatrix
     inv_diag: jax.Array
     steps: int
+    block_local: bool = False
 
 
 def _split_triangles(
@@ -376,6 +380,43 @@ def optimize_precond_format(M):
     return M
 
 
+# SELL factor packing gates (module-level so tests can monkeypatch):
+# below this row count the XLA gather sweeps are tolerable and the pack
+# cost is not worth it; _SELL_FACTOR_FORCE skips the TPU-backend gate.
+_SELL_FACTOR_MIN_ROWS = 128 * 1024
+_SELL_FACTOR_FORCE = False
+
+
+def sell_pack_factors(M):
+    """Route CSR-resident ILU-Jacobi factors through the SELL Pallas kernel
+    when their pattern is unstructured (the DIA repack already rejected
+    it).  Without this, every Jacobi sweep of an unstructured ILU-Jacobi
+    apply is an XLA gather at ~5e7 nnz/s on TPU while the operator itself
+    rides SELL at ~1.5e9 — the preconditioner would dominate the solve.
+    The cost-model gate of ``sell_from_csr`` still applies per triangle;
+    refused patterns keep the CSR sweeps."""
+    import jax as _jax
+
+    if not (isinstance(M, ILUJacobiPrec)
+            and isinstance(M.lower, CSRMatrix)
+            and isinstance(M.upper, CSRMatrix)):
+        return M
+    if np.dtype(M.inv_diag.dtype) != np.float32:
+        return M  # the SELL kernel is f32-only
+    if not _SELL_FACTOR_FORCE and (
+        _jax.default_backend() != "tpu"
+        or M.lower.n_rows < _SELL_FACTOR_MIN_ROWS
+    ):
+        return M
+    from gmres_tpu.ops.sell import sell_from_csr
+
+    lo = sell_from_csr(M.lower)
+    up = sell_from_csr(M.upper)
+    if lo is None or up is None:
+        return M
+    return dataclasses.replace(M, lower=lo, upper=up)
+
+
 def build_jacobi_from_dia(A, dtype) -> JacobiPrec:
     """Jacobi from a DIA operator: the diagonal is the offset-0 band and
     the row 1-norms sum |data| down the diagonals (same safeguard math as
@@ -398,6 +439,13 @@ def build_preconditioner(A: CSRMatrix, cfg: GmresConfig):
     assembled matrix, as the reference does (``gmres_perf_test.cpp:68-92``:
     ``ilu0<PrecType>(A_double)``, ``Jacobi<PrecType>(A)``)."""
     dtype = cfg.precision.precond_dtype
+    if cfg.precond == Precond.BILU_JACOBI:
+        raise ValueError(
+            "precond='bilu_jacobi' is the distributed block-Jacobi ILU "
+            "(each shard factors its diagonal block — precond/bilu.py); "
+            "use solve_distributed, or precond='ilu_jacobi' for "
+            "single-device solves"
+        )
     if cfg.precond == Precond.IDENTITY:
         return IdentityPrec()
     if not isinstance(A, CSRMatrix):

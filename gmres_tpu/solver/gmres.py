@@ -848,6 +848,14 @@ def solve(
             A = A_padded
         M = _pad_prec(M, n_pad)
 
+    # Unstructured ILU-Jacobi factors: pack them as SELL after padding so
+    # the Jacobi sweeps ride the Pallas kernel instead of the XLA gather
+    # (the DIA repack above already refused the pattern).
+    if cfg.auto_format and cfg.axis_name is None and cfg.use_pallas:
+        from gmres_tpu.precond.build import sell_pack_factors
+
+        M = sell_pack_factors(M)
+
     # checkpoint persistence stores x as one array; keep plain fp64 there
     A_out, A_in = prepare_operators(A, cfg, allow_df64=checkpoint is None)
     M = jax.device_put(M)  # one upload, not one per jitted cycle call
