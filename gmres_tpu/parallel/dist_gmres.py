@@ -295,6 +295,53 @@ def make_distributed_cycle(cfg: GmresConfig, mesh: Mesh):
     return chunked, cfg
 
 
+def _dist_ckpt_hooks(checkpoint, mesh: Mesh, shard0, df64_active: bool,
+                     rows_per: int, owned):
+    """Checkpoint persistence for sharded x (SURVEY.md §5.4 at pod scale —
+    preemption is the common case on large slices).  Each process saves
+    its own contiguous block of shards to its own file
+    (``<path>.p<process>`` under multi-host); resume rebuilds the sharded
+    array via ``make_array_from_callback`` (and re-splits the df64 pair),
+    so no process ever materializes global x.  Resume requires the same
+    mesh/process layout as the save."""
+    import dataclasses as _dc
+
+    n_shards = mesh.devices.size
+    path = checkpoint.path
+    if jax.process_count() > 1:
+        path = f"{path}.p{jax.process_index()}"
+    spec = (checkpoint if path == checkpoint.path
+            else _dc.replace(checkpoint, path=path))
+    owned_sorted = (sorted(owned) if owned is not None
+                    else list(range(n_shards)))
+    lo = (min(owned_sorted) if owned_sorted else 0) * rows_per
+
+    def to_host(x):
+        if df64_active:
+            from gmres_tpu.ops.pallas.df64_kernel import merge_f64
+
+            x = jax.jit(merge_f64)(*x)
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    def from_host(x_np):
+        x_np = np.asarray(x_np)
+
+        def cb(idx, a=x_np):
+            s = idx[0].start if idx[0].start is not None else 0
+            return a[s - lo : s - lo + rows_per]
+
+        xg = jax.make_array_from_callback((rows_per * n_shards,), shard0, cb)
+        if df64_active:
+            from gmres_tpu.ops.pallas.df64_kernel import split_f64
+
+            xg = jax.jit(split_f64, out_shardings=(shard0, shard0))(xg)
+        return xg
+
+    return spec, to_host, from_host
+
+
 @functools.lru_cache(maxsize=32)
 def _make_bilu_minvb(cfg: GmresConfig, mesh: Mesh):
     """jitted ``||M^{-1} b||`` for block-ILU factors (device-side, the
@@ -322,6 +369,7 @@ def solve_distributed(
     force_df64: bool = False,
     multihost: bool = False,
     force_sell: bool = False,
+    checkpoint=None,
 ) -> GmresResult:
     """Row-partitioned GMRES over all devices (or the given mesh).
 
@@ -664,7 +712,38 @@ def solve_distributed(
         return cycle(chunk, Ao_p, Ai_p, M_p, b_pad, x, b_norm, minvb_norm,
                      a_norm, pstate)
 
-    result = drive_restarts(chunk_call, x, dist_cfg, record_history, progress)
+    ckpt_spec = to_host = from_host = None
+    if checkpoint is not None:
+        from gmres_tpu.parallel.partition import padded_size
+
+        ckpt_spec, to_host, from_host = _dist_ckpt_hooks(
+            checkpoint, mesh, shard0, df64_active,
+            rows_eff or padded_size(n, n_shards) // n_shards,
+            owned,
+        )
+        if multihost and jax.process_count() > 1:
+            # lockstep guard: every process must resume from the SAME
+            # (i, total_iters) or the host loops desynchronize — a
+            # preemption mid-save can leave per-process files one interval
+            # apart
+            from gmres_tpu.utils import checkpoint as _ckpt_mod
+
+            st = _ckpt_mod.load(ckpt_spec.path)
+            hdr = (np.array([st[1], st[2]], np.int64) if st is not None
+                   else np.array([-1, -1], np.int64))
+            g = np.asarray(exchange(hdr))
+            if not (g == g[0]).all():
+                raise ValueError(
+                    "inconsistent per-process checkpoint files "
+                    f"({ckpt_spec.path!r}-family disagree on restart "
+                    "index); delete the stale files and restart from the "
+                    "newest consistent set"
+                )
+
+    result = drive_restarts(chunk_call, x, dist_cfg, record_history, progress,
+                            checkpoint=ckpt_spec,
+                            ckpt_x_to_host=to_host,
+                            ckpt_x_from_host=from_host)
     result.prec_seconds = prec_seconds
     # host bytes this process materialized for the partitioned operator
     # forms (None when served from the staging cache); the multi-host test

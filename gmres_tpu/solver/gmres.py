@@ -961,6 +961,7 @@ def solve(
 def drive_restarts(
     chunk_call, x, cfg: GmresConfig, record_history=False, progress=None,
     checkpoint=None, stall_window: int | None = None,
+    ckpt_x_to_host=None, ckpt_x_from_host=None,
 ) -> GmresResult:
     """The host outer loop, implementing the reference's ``check_initial``
     bookkeeping (restart counting / abort / convergence — IterUtil.hpp:42-51
@@ -973,7 +974,11 @@ def drive_restarts(
 
     ``checkpoint`` (a ``utils.checkpoint.CheckpointSpec``) persists
     (x, i, iters, policy state) roughly every ``every`` restarts (rounded to
-    chunk boundaries) and resumes from the file when present."""
+    chunk boundaries) and resumes from the file when present.
+    ``ckpt_x_to_host``/``ckpt_x_from_host`` override how x is converted for
+    persistence — the distributed solver saves each process's contiguous
+    shard block and rebuilds the sharded (possibly df64-split) array on
+    resume (``parallel/dist_gmres._dist_ckpt_hooks``)."""
 
     pstate = initial_policy_state()
     history = [] if record_history else None
@@ -985,7 +990,10 @@ def drive_restarts(
         state = ckpt_mod.load(checkpoint.path)
         if state is not None:
             x_np, resume_i, total_iters, pstate = state
-            x = jnp.asarray(x_np, dtype=jnp.asarray(x).dtype)
+            if ckpt_x_from_host is not None:
+                x = ckpt_x_from_host(x_np)
+            else:
+                x = jnp.asarray(x_np, dtype=jnp.asarray(x).dtype)
     converged = False
     aborted = False
     diverged = False
@@ -1060,7 +1068,8 @@ def drive_restarts(
         ):
             from gmres_tpu.utils import checkpoint as ckpt_mod
 
-            ckpt_mod.save(checkpoint.path, x, i, total_iters, pstate)
+            x_host = ckpt_x_to_host(x) if ckpt_x_to_host is not None else x
+            ckpt_mod.save(checkpoint.path, x_host, i, total_iters, pstate)
 
     return GmresResult(
         x=x,

@@ -202,3 +202,27 @@ def test_sell_packed_factors_match_csr_sweeps(monkeypatch):
         r_sell.restarts, r_sell.total_iters)
     np.testing.assert_allclose(np.asarray(r_csr.x), np.asarray(r_sell.x),
                                atol=1e-10)
+
+
+def test_distributed_checkpoint_resume(tmp_path):
+    """Sharded checkpoint/resume (SURVEY.md §5.4 at pod scale): abort a
+    budget-limited distributed solve mid-way, resume, and match the
+    uninterrupted run."""
+    from gmres_tpu.utils.checkpoint import CheckpointSpec
+
+    A = convection_diffusion_2d(16, beta=1.0)
+    x_true, b = _problem(A)
+    cfg = _mixed_cfg(precond="jacobi", restart_length=8, tol=1e-10,
+                     max_restarts=200)
+    full = solve_distributed(A, b, cfg, record_history=True)
+    assert full.converged and full.restarts >= 3
+
+    ck = CheckpointSpec(path=str(tmp_path / "d.ckpt"), every=1)
+    part = solve_distributed(A, b, cfg.with_(max_restarts=2), checkpoint=ck)
+    assert part.aborted
+
+    res = solve_distributed(A, b, cfg, checkpoint=ck)
+    assert res.converged
+    assert res.restarts == full.restarts
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(full.x),
+                               rtol=1e-10)
