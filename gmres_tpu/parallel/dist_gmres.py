@@ -296,14 +296,22 @@ def make_distributed_cycle(cfg: GmresConfig, mesh: Mesh):
 
 
 def _dist_ckpt_hooks(checkpoint, mesh: Mesh, shard0, df64_active: bool,
-                     rows_per: int, owned):
+                     rows_per: int, owned, exchange=None):
     """Checkpoint persistence for sharded x (SURVEY.md §5.4 at pod scale —
     preemption is the common case on large slices).  Each process saves
     its own contiguous block of shards to its own file
-    (``<path>.p<process>`` under multi-host); resume rebuilds the sharded
+    (``<path>.p<process>``under multi-host); resume rebuilds the sharded
     array via ``make_array_from_callback`` (and re-splits the df64 pair),
     so no process ever materializes global x.  Resume requires the same
-    mesh/process layout as the save."""
+    mesh/process layout as the save.
+
+    A preemption can land BETWEEN two processes' saves, leaving the
+    per-process files one interval apart; the returned ``consensus`` hook
+    reconciles that on resume: processes exchange their (restart, iters,
+    policy-state) headers and all adopt the LOWEST restart index (each
+    keeps its own x block — a block saved a restart later is still a
+    valid component of a starting iterate), so resume always succeeds
+    without discarding progress."""
     import dataclasses as _dc
 
     n_shards = mesh.devices.size
@@ -314,6 +322,13 @@ def _dist_ckpt_hooks(checkpoint, mesh: Mesh, shard0, df64_active: bool,
             else _dc.replace(checkpoint, path=path))
     owned_sorted = (sorted(owned) if owned is not None
                     else list(range(n_shards)))
+    if owned_sorted != list(range(owned_sorted[0] if owned_sorted else 0,
+                                  (owned_sorted[-1] + 1) if owned_sorted
+                                  else 0)):
+        raise ValueError(
+            f"checkpointing needs contiguous per-process shards, got "
+            f"{owned_sorted}; use a contiguous shard-per-process mesh layout"
+        )
     lo = (min(owned_sorted) if owned_sorted else 0) * rows_per
 
     def to_host(x):
@@ -339,7 +354,50 @@ def _dist_ckpt_hooks(checkpoint, mesh: Mesh, shard0, df64_active: bool,
             xg = jax.jit(split_f64, out_shardings=(shard0, shard0))(xg)
         return xg
 
-    return spec, to_host, from_host
+    def consensus(state):
+        """Reconcile per-process resume headers (multi-host only)."""
+        if exchange is None:
+            return state
+        from gmres_tpu.solver.policies import PolicyState
+
+        if state is None:
+            hdr = np.array([-1.0, 0, 0, 0, 0], np.float64)
+        else:
+            _, i, iters, ps = state
+            hdr = np.array([
+                i, iters, float(np.asarray(ps.is_first)),
+                float(np.asarray(ps.second_restart_length)),
+                float(np.asarray(ps.restart_tol)),
+            ], np.float64)
+        g = np.asarray(exchange(hdr))
+        if (g[:, 0] < 0).any():
+            # some process lost its file: no consistent set exists — start
+            # fresh everywhere (lockstep; the checkpoint is best-effort)
+            if state is not None:
+                import warnings
+
+                warnings.warn(
+                    "checkpoint files missing on some processes; "
+                    "restarting the solve from scratch"
+                )
+            return None
+        j = int(np.argmin(g[:, 0]))
+        if state is not None and int(state[1]) != int(g[j, 0]):
+            import warnings
+
+            warnings.warn(
+                f"per-process checkpoints disagree (restart {int(state[1])} "
+                f"here vs {int(g[j, 0])} minimum); adopting the minimum — "
+                "each process resumes from its own x block"
+            )
+        pstate = PolicyState(
+            is_first=jnp.asarray(g[j, 2] != 0),
+            second_restart_length=jnp.asarray(np.int32(g[j, 3])),
+            restart_tol=jnp.asarray(g[j, 4], jnp.float64),
+        )
+        return (state[0], int(g[j, 0]), int(g[j, 1]), pstate)
+
+    return spec, to_host, from_host, consensus
 
 
 @functools.lru_cache(maxsize=32)
@@ -451,10 +509,17 @@ def solve_distributed(
             # checks the GLOBAL pattern against dia.from_csr — here no
             # process has it, so the DIA gate is a cross-process structure
             # vote (one fixed-shape allgather of per-block diagonal-offset
-            # partials; every process derives the same verdict)
-            from gmres_tpu.parallel.halo import rowblock_dia_gate
+            # partials; every process derives the same verdict).  The
+            # verdict is a pure function of the matrix: cache it per
+            # object so repeated solves skip the O(local nnz) scan and the
+            # collectives (every process caches together — lockstep holds)
+            vote = _dist_stage_cache_get(A, "dia_vote")
+            if vote is None:
+                from gmres_tpu.parallel.halo import rowblock_dia_gate
 
-            want_sell = not rowblock_dia_gate(A, exchange)
+                vote = rowblock_dia_gate(A, exchange)
+                _dist_stage_cache_put(A, "dia_vote", vote)
+            want_sell = not vote
         rows_per_need = None
         if want_sell:
             # SELL shards sit on a ROWS_PER_BLOCK-aligned grid wider than
@@ -712,38 +777,21 @@ def solve_distributed(
         return cycle(chunk, Ao_p, Ai_p, M_p, b_pad, x, b_norm, minvb_norm,
                      a_norm, pstate)
 
-    ckpt_spec = to_host = from_host = None
+    ckpt_spec = to_host = from_host = consensus = None
     if checkpoint is not None:
         from gmres_tpu.parallel.partition import padded_size
 
-        ckpt_spec, to_host, from_host = _dist_ckpt_hooks(
+        ckpt_spec, to_host, from_host, consensus = _dist_ckpt_hooks(
             checkpoint, mesh, shard0, df64_active,
             rows_eff or padded_size(n, n_shards) // n_shards,
-            owned,
+            owned, exchange=exchange if multihost else None,
         )
-        if multihost and jax.process_count() > 1:
-            # lockstep guard: every process must resume from the SAME
-            # (i, total_iters) or the host loops desynchronize — a
-            # preemption mid-save can leave per-process files one interval
-            # apart
-            from gmres_tpu.utils import checkpoint as _ckpt_mod
-
-            st = _ckpt_mod.load(ckpt_spec.path)
-            hdr = (np.array([st[1], st[2]], np.int64) if st is not None
-                   else np.array([-1, -1], np.int64))
-            g = np.asarray(exchange(hdr))
-            if not (g == g[0]).all():
-                raise ValueError(
-                    "inconsistent per-process checkpoint files "
-                    f"({ckpt_spec.path!r}-family disagree on restart "
-                    "index); delete the stale files and restart from the "
-                    "newest consistent set"
-                )
 
     result = drive_restarts(chunk_call, x, dist_cfg, record_history, progress,
                             checkpoint=ckpt_spec,
                             ckpt_x_to_host=to_host,
-                            ckpt_x_from_host=from_host)
+                            ckpt_x_from_host=from_host,
+                            ckpt_consensus=consensus)
     result.prec_seconds = prec_seconds
     # host bytes this process materialized for the partitioned operator
     # forms (None when served from the staging cache); the multi-host test

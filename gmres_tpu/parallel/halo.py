@@ -215,16 +215,16 @@ def rowblock_dia_gate(A, exchange=None, max_fill: float = 3.0,
     if exchange is not None:
         # every process MUST call exchange exactly once here (lockstep),
         # including overflowed ones (they signal with a -1 count)
-        payload = np.full(max_diags + 2, np.iinfo(np.int64).min, np.int64)
-        payload[0] = -1 if overflow else uniq.shape[0]
-        if not overflow:
-            payload[1 : 1 + uniq.shape[0]] = uniq
+        from gmres_tpu.parallel.multihost import pack_offsets, union_offsets
+
+        payload = pack_offsets(
+            range(max_diags + 1) if overflow else [int(o) for o in uniq],
+            max_diags,
+        )  # an over-long iterable encodes local overflow (-1 sentinel)
         gathered = np.asarray(exchange(payload))
-        if (gathered[:, 0] < 0).any():
+        union = union_offsets(gathered, max_diags)
+        if union is None:
             return False
-        union: set[int] = set()
-        for row in gathered:
-            union.update(int(o) for o in row[1 : 1 + int(row[0])])
         D = len(union)
     else:
         if overflow:
@@ -295,18 +295,15 @@ def _partition_halo_owned(A, n_shards: int, owned, n_pad: int,
             overflow = True
             break
     if is_block and exchange is not None:
-        payload = np.full(_MAX_DIAGS + 2, np.iinfo(np.int64).min, np.int64)
-        payload[0] = -1 if overflow else len(local_offs)
+        from gmres_tpu.parallel.multihost import pack_offsets, union_offsets
+
+        payload = pack_offsets(
+            range(_MAX_DIAGS + 1) if overflow else local_offs, _MAX_DIAGS
+        )  # an over-long iterable encodes local overflow (-1 sentinel)
+        union = union_offsets(np.asarray(exchange(payload)), _MAX_DIAGS)
+        overflow = union is None
         if not overflow:
-            payload[1 : 1 + len(local_offs)] = sorted(local_offs)
-        gathered = np.asarray(exchange(payload))
-        overflow = bool((gathered[:, 0] < 0).any())
-        if not overflow:
-            union = set()
-            for row in gathered:
-                union.update(int(o) for o in row[1 : 1 + int(row[0])])
             local_offs = union
-            overflow = len(local_offs) > _MAX_DIAGS
     uniq = np.array(sorted(local_offs), dtype=np.int64)
     D = uniq.shape[0] if not overflow else _MAX_DIAGS + 1
 

@@ -49,6 +49,33 @@ def initialize(
     jax.distributed.initialize(**kwargs)
 
 
+def pack_offsets(offs, max_count: int) -> np.ndarray:
+    """Fixed-shape wire format for a cross-process set-union vote: a
+    ``(max_count + 1,)`` int64 array ``[count, sorted values..., pad]``
+    with ``count = -1`` signalling local overflow (> max_count values).
+    One format shared by every lockstep offset vote (halo DIA gate,
+    block-ILU factor-pattern vote) so the protocols cannot drift."""
+    arr = np.full(max_count + 1, np.iinfo(np.int64).min, np.int64)
+    if len(offs) > max_count:
+        arr[0] = -1
+    else:
+        arr[0] = len(offs)
+        arr[1 : 1 + len(offs)] = sorted(offs)
+    return arr
+
+
+def union_offsets(rows: np.ndarray, max_count: int):
+    """Union the gathered ``pack_offsets`` payloads; None when any process
+    overflowed or the union itself exceeds ``max_count``."""
+    rows = np.asarray(rows)
+    if (rows[:, 0] < 0).any():
+        return None
+    union: set[int] = set()
+    for row in rows:
+        union.update(int(o) for o in row[1 : 1 + int(row[0])])
+    return union if len(union) <= max_count else None
+
+
 def exchange_host_array(arr: np.ndarray) -> np.ndarray:
     """Allgather a small fixed-shape host array across processes: returns
     the ``(process_count,) + arr.shape`` stack, in process order.

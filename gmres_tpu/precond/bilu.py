@@ -105,25 +105,6 @@ def _tri_offsets(tri) -> set[int]:
     return {int(o) for o in (np.flatnonzero(present) + off_min)}
 
 
-def _pack_offsets(offs: set[int]) -> np.ndarray:
-    arr = np.full(_MAXD + 1, np.iinfo(np.int64).min, np.int64)
-    if len(offs) > _MAXD:
-        arr[0] = -1
-    else:
-        arr[0] = len(offs)
-        arr[1 : 1 + len(offs)] = sorted(offs)
-    return arr
-
-
-def _union_offsets(rows: np.ndarray):
-    if (rows[:, 0] < 0).any():
-        return None
-    union: set[int] = set()
-    for row in rows:
-        union.update(int(o) for o in row[1 : 1 + int(row[0])])
-    return union if len(union) <= _MAXD else None
-
-
 def _dia_pack(tri, offsets: tuple[int, ...], r: int, dtype) -> np.ndarray:
     """Local-column triangle CSR -> (D, r) band data on shared offsets."""
     D = len(offsets)
@@ -237,13 +218,15 @@ def build_bilu_jacobi(A, n_shards: int, rows_per: int, dtype, steps: int,
     # --- metadata vote (one fixed-shape lockstep allgather): offset
     # unions, global factor nnz, per-shard padding maxima ---
     if exchange is not None:
+        from gmres_tpu.parallel.multihost import pack_offsets, union_offsets
+
         payload = np.concatenate([
-            _pack_offsets(offs_l), _pack_offsets(offs_u),
+            pack_offsets(offs_l, _MAXD), pack_offsets(offs_u, _MAXD),
             np.array([nnz_l, nnz_u, max_kl, max_ku], np.int64),
         ])
         g = np.asarray(exchange(payload))
-        u_l = _union_offsets(g[:, : _MAXD + 1])
-        u_u = _union_offsets(g[:, _MAXD + 1 : 2 * (_MAXD + 1)])
+        u_l = union_offsets(g[:, : _MAXD + 1], _MAXD)
+        u_u = union_offsets(g[:, _MAXD + 1 : 2 * (_MAXD + 1)], _MAXD)
         tail = g[:, 2 * (_MAXD + 1) :]
         nnz_l = int(tail[:, 0].sum())
         nnz_u = int(tail[:, 1].sum())

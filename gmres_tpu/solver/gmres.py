@@ -961,7 +961,7 @@ def solve(
 def drive_restarts(
     chunk_call, x, cfg: GmresConfig, record_history=False, progress=None,
     checkpoint=None, stall_window: int | None = None,
-    ckpt_x_to_host=None, ckpt_x_from_host=None,
+    ckpt_x_to_host=None, ckpt_x_from_host=None, ckpt_consensus=None,
 ) -> GmresResult:
     """The host outer loop, implementing the reference's ``check_initial``
     bookkeeping (restart counting / abort / convergence — IterUtil.hpp:42-51
@@ -988,6 +988,11 @@ def drive_restarts(
         from gmres_tpu.utils import checkpoint as ckpt_mod
 
         state = ckpt_mod.load(checkpoint.path)
+        if ckpt_consensus is not None:
+            # multi-host: reconcile per-process resume headers (a mid-save
+            # preemption can leave files one interval apart) — all
+            # processes adopt the same (i, iters, policy state) in lockstep
+            state = ckpt_consensus(state)
         if state is not None:
             x_np, resume_i, total_iters, pstate = state
             if ckpt_x_from_host is not None:

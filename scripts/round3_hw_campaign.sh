@@ -21,12 +21,15 @@ mkdir -p "$OUT"
 step() {  # step <name> <timeout-s> <cmd...>
   local name="$1" tmo="$2"; shift 2
   local log="$OUT/$name.txt"
-  if [ -s "$log" ] && ! grep -q "CAMPAIGN-STEP-FAILED" "$log"; then
+  # skip ONLY on an explicit success marker: a run interrupted mid-step
+  # (tunnel drop, reboot) leaves a partial log without it and re-runs
+  if grep -q "CAMPAIGN-STEP-OK" "$log" 2>/dev/null; then
     echo "== $name: already done, skipping"
     return 0
   fi
   echo "== $name: running (timeout ${tmo}s)"
   if timeout "$tmo" "$@" >"$log" 2>&1; then
+    echo "CAMPAIGN-STEP-OK" >>"$log"
     echo "== $name: ok"
   else
     echo "CAMPAIGN-STEP-FAILED rc=$?" >>"$log"

@@ -226,3 +226,52 @@ def test_distributed_checkpoint_resume(tmp_path):
     assert res.restarts == full.restarts
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(full.x),
                                rtol=1e-10)
+
+
+def test_ckpt_consensus_adopts_minimum_header():
+    """A mid-save preemption leaves per-process checkpoint files one
+    interval apart; the consensus hook must reconcile (all adopt the
+    minimum restart header) instead of failing the resume."""
+    import warnings
+
+    from gmres_tpu.parallel.dist_gmres import _dist_ckpt_hooks
+    from gmres_tpu.solver.policies import initial_policy_state
+    from gmres_tpu.utils.checkpoint import CheckpointSpec
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = jax.make_mesh((4,), ("rows",))
+    shard0 = NamedSharding(mesh, P("rows"))
+    spec = CheckpointSpec(path="/tmp/unused.ckpt", every=1)
+    _, _, _, consensus = _dist_ckpt_hooks(
+        spec, mesh, shard0, False, 8, None,
+        exchange=lambda arr: np.stack([
+            np.asarray(arr),                       # this "process": i=10
+            np.array([8, 80, 0, 12, 1e-3]),        # a process behind: i=8
+        ]),
+    )
+    ps = initial_policy_state()
+    x_blk = np.arange(32.0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = consensus((x_blk, 10, 100, ps))
+    assert out is not None
+    x2, i, iters, ps2 = out
+    np.testing.assert_array_equal(x2, x_blk)       # keeps its OWN block
+    assert (i, iters) == (8, 80)                   # adopts the minimum
+    assert int(ps2.second_restart_length) == 12
+    assert float(ps2.restart_tol) == 1e-3
+    assert any("disagree" in str(x.message) for x in w)
+
+    # a process with no file: everyone starts fresh
+    _, _, _, consensus2 = _dist_ckpt_hooks(
+        spec, mesh, shard0, False, 8, None,
+        exchange=lambda arr: np.stack([
+            np.asarray(arr), np.array([-1.0, 0, 0, 0, 0])]),
+    )
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        assert consensus2((x_blk, 10, 100, ps)) is None
+
+    # non-contiguous owned shards are rejected up front
+    with pytest.raises(ValueError, match="contiguous"):
+        _dist_ckpt_hooks(spec, mesh, shard0, False, 8, [0, 2])

@@ -352,7 +352,8 @@ def test_solve_rowblock_auto_routes_sell(monkeypatch):
     assert r_blk.converged
     # the staged inner operator must be the PartitionedSELL pack
     entry = dist_gmres._DIST_STAGE_CACHE[id(blk)][1]
-    staged_types = {type(v[1]).__name__ for v in entry.values()}
+    staged_types = {type(v[1]).__name__ for v in entry.values()
+                    if isinstance(v, tuple)}
     assert "PartitionedSELL" in staged_types, staged_types
     # identical route => identical history vs the explicit force_sell solve
     r_forced = solve_distributed(A, b, cfg, force_sell=True)
@@ -379,5 +380,6 @@ def test_solve_rowblock_auto_keeps_dia(monkeypatch):
     r_blk = solve_distributed(blk, b, cfg)
     assert r_blk.converged
     entry = dist_gmres._DIST_STAGE_CACHE[id(blk)][1]
-    staged_types = {type(v[1]).__name__ for v in entry.values()}
+    staged_types = {type(v[1]).__name__ for v in entry.values()
+                    if isinstance(v, tuple)}
     assert "HaloDIA" in staged_types, staged_types
