@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--max-restarts", type=int, default=80)
     ap.add_argument("--jacobi-steps", type=int, default=3, dest="jacobi_steps")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--modes", default="baseline,mixed",
+                    help="comma-separated precision modes to time; must "
+                         "include baseline and mixed (the headline ratio); "
+                         "add df64 to position the two-fp32 fp64-quality "
+                         "tier between them")
     args = ap.parse_args()
 
     from gmres_tpu import GmresConfig, PrecisionSpec
@@ -114,8 +119,12 @@ def main():
         max_restarts=args.max_restarts,
     )
 
+    modes = tuple(m.strip() for m in args.modes.split(",") if m.strip())
+    for need in ("baseline", "mixed"):
+        if need not in modes:
+            raise SystemExit(f"--modes must include {need!r}")
     results = {}
-    for mode in ("baseline", "mixed"):
+    for mode in modes:
         cfg = GmresConfig(precision=PrecisionSpec.from_mode(mode), **common)
         # ILU factors need the CSR structure; build from the original
         # matrix (setup phase, like the reference's separately-timed "ilu")

@@ -38,7 +38,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-restarts", type=int, default=1_000_000, dest="max_restarts")
     p.add_argument("--rand", type=int, default=42)
     p.add_argument(
-        "--mode", choices=["mixed", "baseline", "single-prec", "single"],
+        "--mode",
+        choices=["mixed", "baseline", "single-prec", "single", "df64"],
         default="mixed",
     )
     p.add_argument("--orth", type=str.lower, choices=["cgs", "mgs", "cgsr"], default="mgs")

@@ -23,6 +23,10 @@ class Mode(str, enum.Enum):
     SINGLE_PREC = "single-prec"    # fp64 solver, fp32 preconditioner
     MIXED = "mixed"                # fp64 outer residual, fp32 inner cycle
     SINGLE = "single"              # uniform fp32
+    # beyond-reference 5th mode: fp64-class inner loop carried as two-fp32
+    # (double-float) pairs — fp64 convergence without XLA's emulated-fp64
+    # arrays in the hot loop (ops/df64.py)
+    DF64 = "df64"
 
 
 class Orth(str, enum.Enum):
@@ -83,11 +87,21 @@ class PrecisionSpec:
     outer: str = "float64"
     inner: str = "float64"
     precond: str = "float64"
+    # df64 tier (mode "df64"): the inner loop's vectors are carried as
+    # two-fp32 (hi, lo) pairs with error-free transforms — fp64-class
+    # accuracy (~2^-48) without emulated-fp64 arrays in the hot loop.
+    # Requires inner == "float64" (it is a REPRESENTATION of fp64).
+    df64_inner: bool = False
 
     def __post_init__(self):
         for name in (self.outer, self.inner, self.precond):
             if name not in _DTYPES:
                 raise ValueError(f"unsupported dtype {name!r}; use one of {_DTYPES}")
+        if self.df64_inner and self.inner != "float64":
+            raise ValueError(
+                "df64_inner carries an fp64-quality inner loop as two-fp32 "
+                "pairs; set inner='float64' with it"
+            )
 
     @staticmethod
     def from_mode(mode: Mode | str) -> "PrecisionSpec":
@@ -100,6 +114,11 @@ class PrecisionSpec:
             return PrecisionSpec("float64", "float32", "float32")
         if mode == Mode.SINGLE:
             return PrecisionSpec("float32", "float32", "float32")
+        if mode == Mode.DF64:
+            # fp32 preconditioner: a df64-quality M buys nothing (M only
+            # preconditions) and fp32 keeps its apply on the fast paths
+            return PrecisionSpec("float64", "float64", "float32",
+                                 df64_inner=True)
         raise ValueError(f"unknown mode {mode}")
 
     @property

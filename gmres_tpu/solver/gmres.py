@@ -71,6 +71,73 @@ class CycleInfo(NamedTuple):
     pstate: PolicyState
 
 
+def _givens_policy_step(cfg: GmresConfig, c: dict, h_col, h_next, beta,
+                        restart_tol, pstate: PolicyState, minvb_norm,
+                        gram_vnext):
+    """The Givens + restart-policy tail of one Arnoldi iteration, shared
+    by the native-dtype and df64 inner loops (the H/Q/S dtype follows the
+    carry).  ``gram_vnext()`` returns the masked <v_j, v_{k+1}> Gram
+    vector for the orth-loss S-recurrence; called only under that policy.
+    Returns the updated carry WITHOUT the basis entries (callers add V)."""
+    m = cfg.m
+    H, Q = c["H"], c["Q"]
+    k = c["k"]
+    k1 = k + 1
+    # Apply all k previous rotations at once (rows > k of Q are
+    # still identity, so hhat[k+1] = h_next), then generate + fold
+    # in the new rotation (gmres.cpp:106-110, vectorized).
+    hhat = jnp.matmul(Q, h_col, precision=_HI)
+    r_, c_, s_ = rotg(hhat[k], hhat[k + 1])
+    hhat = hhat.at[k].set(r_).at[k + 1].set(0)
+    Q = accumulate_rotation(Q, k, c_, s_)
+    # Happy-breakdown guard (explicit divergence from the reference,
+    # which divides by zero here — Orthogonalization.hpp:59): when
+    # h(k+1,k) == 0 the Krylov space is A-invariant; later columns are
+    # vacuous zeros whose zero pivots would poison the triangular
+    # solve (0 * inf = NaN).  ``kdim`` counts the columns usable by
+    # the solution update: it advances only while no breakdown has
+    # occurred AND the new R diagonal r_kk is nonzero (r_kk == 0 with
+    # h_next == 0 means even column k is degenerate — e.g. beta == 0).
+    # Post-breakdown iterations are harmless identity rotations
+    # (rotg(0,0) = (1,0)).
+    kdim = jnp.where(c["bd"] | (r_ == 0), c["kdim"], k1)
+    bd = c["bd"] | (h_next == 0) | (r_ == 0)
+    H = jax.lax.dynamic_update_slice(
+        H, hhat[:, None], (jnp.zeros((), k.dtype), k)
+    )
+    # |s(k+1)| with s = Q @ (beta e1)
+    arnoldi = jnp.abs(beta * Q[k1, 0]).astype(_f64)
+    arn = c["arn"].at[k].set(arnoldi)
+
+    # --- restart policy (IterUtil.hpp check()) ---
+    pol_trigger = jnp.asarray(False)
+    if cfg.policy == RestartPolicy.REL_PREC_RES:
+        pol_trigger = arnoldi / minvb_norm <= restart_tol
+    elif cfg.policy == RestartPolicy.REPEAT_ITERATION:
+        pol_trigger = jnp.where(
+            pstate.is_first,
+            arnoldi / minvb_norm <= restart_tol,
+            pstate.second_restart_length <= k1,
+        )
+    loss_sq = c["loss_sq"]
+    S = c["S"]
+    if cfg.policy == RestartPolicy.LOST_ORTHOGONALITY:
+        mask = jnp.arange(m + 1) <= k
+        u = gram_vnext()
+        s_col = u - jnp.matmul(S[: m + 1, : m + 1], u, precision=_HI)
+        s_col = jnp.where(mask, s_col, 0)
+        S = jax.lax.dynamic_update_slice(S, s_col[:, None], (jnp.int32(0), k1))
+        loss_sq = loss_sq + jnp.dot(s_col, s_col, precision=_HI).astype(_f64)
+        pol_trigger = pol_trigger | (loss_sq >= cfg.restart_improvement**2)
+    trig_k = jnp.minimum(
+        c["trig_k"], jnp.where(pol_trigger, k1, jnp.asarray(m, jnp.int32))
+    )
+    restart = (cfg.m <= k1) | pol_trigger
+
+    return dict(H=H, Q=Q, S=S, k=k1, kdim=kdim, bd=bd,
+                done=restart, loss_sq=loss_sq, trig_k=trig_k, arn=arn)
+
+
 def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
                  pstate: PolicyState, minvb_norm, n_local: int):
     """The Arnoldi / Givens / policy inner loop.  Returns (y @ V update
@@ -127,7 +194,7 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         return ~c["done"]
 
     def body(c):
-        V, H, Q = c["V"], c["H"], c["Q"]
+        V = c["V"]
         k = c["k"]
 
         v_k = jax.lax.dynamic_index_in_dim(V, k, axis=0, keepdims=False)
@@ -143,48 +210,9 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         # (mirrors first_vector's beta==0 branch) instead of poisoning with NaN.
         v_next = jnp.where(h_next != 0, w / h_next, jnp.zeros_like(w))
         V = jax.lax.dynamic_update_index_in_dim(V, v_next, k + 1, axis=0)
-
         h_col = h_col.at[k + 1].set(h_next)
-        k1 = k + 1
-        # Apply all k previous rotations at once (rows > k of Q are
-        # still identity, so hhat[k+1] = h_next), then generate + fold
-        # in the new rotation (gmres.cpp:106-110, vectorized).
-        hhat = jnp.matmul(Q, h_col, precision=_HI)
-        r_, c_, s_ = rotg(hhat[k], hhat[k + 1])
-        hhat = hhat.at[k].set(r_).at[k + 1].set(0)
-        Q = accumulate_rotation(Q, k, c_, s_)
-        # Happy-breakdown guard (explicit divergence from the reference,
-        # which divides by zero here — Orthogonalization.hpp:59): when
-        # h(k+1,k) == 0 the Krylov space is A-invariant; later columns are
-        # vacuous zeros whose zero pivots would poison the triangular
-        # solve (0 * inf = NaN).  ``kdim`` counts the columns usable by
-        # the solution update: it advances only while no breakdown has
-        # occurred AND the new R diagonal r_kk is nonzero (r_kk == 0 with
-        # h_next == 0 means even column k is degenerate — e.g. beta == 0).
-        # Post-breakdown iterations are harmless identity rotations
-        # (rotg(0,0) = (1,0)).
-        kdim = jnp.where(c["bd"] | (r_ == 0), c["kdim"], k1)
-        bd = c["bd"] | (h_next == 0) | (r_ == 0)
-        H = jax.lax.dynamic_update_slice(
-            H, hhat[:, None], (jnp.zeros((), k.dtype), k)
-        )
-        # |s(k+1)| with s = Q @ (beta e1)
-        arnoldi = jnp.abs(beta * Q[k1, 0]).astype(_f64)
-        arn = c["arn"].at[k].set(arnoldi)
 
-        # --- restart policy (IterUtil.hpp check()) ---
-        pol_trigger = jnp.asarray(False)
-        if cfg.policy == RestartPolicy.REL_PREC_RES:
-            pol_trigger = arnoldi / minvb_norm <= restart_tol
-        elif cfg.policy == RestartPolicy.REPEAT_ITERATION:
-            pol_trigger = jnp.where(
-                pstate.is_first,
-                arnoldi / minvb_norm <= restart_tol,
-                pstate.second_restart_length <= k1,
-            )
-        loss_sq = c["loss_sq"]
-        S = c["S"]
-        if orthloss:
+        def gram_vnext():
             # S-recurrence Gram vector <v_j, v_{k+1}> for j<=k
             # (IterUtil.hpp:200-223).  Rows beyond k+1 of V are zero but row
             # k+1 (just written) is v_{k+1} itself, so the unmasked Pallas
@@ -194,27 +222,22 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
             # weak item 3).
             from gmres_tpu.ops.pallas.orth_kernel import _gram, profitable
 
-            mask = jnp.arange(m + 1) <= k
             if profitable(V, cfg.use_pallas):
                 u = _gram(V, v_next)
                 if axis is not None:
                     u = jax.lax.psum(u, axis)
-                u = jnp.where(mask, u, 0)
-            else:
-                u = _masked_gram(V, v_next, k, axis)  # <v_j, v_{k+1}>, j<=k
-            s_col = u - jnp.matmul(S[: m + 1, : m + 1], u, precision=_HI)
-            s_col = jnp.where(mask, s_col, 0)
-            S = jax.lax.dynamic_update_slice(S, s_col[:, None], (jnp.int32(0), k1))
-            loss_sq = loss_sq + jnp.dot(s_col, s_col, precision=_HI).astype(_f64)
-            pol_trigger = pol_trigger | (loss_sq >= cfg.restart_improvement**2)
-        trig_k = jnp.minimum(
-            c["trig_k"], jnp.where(pol_trigger, k1, jnp.asarray(m, jnp.int32))
-        )
-        restart = (cfg.m <= k1) | pol_trigger
+                return jnp.where(jnp.arange(m + 1) <= k, u, 0)
+            return _masked_gram(V, v_next, k, axis)  # <v_j, v_{k+1}>, j<=k
 
-        return dict(V=V, H=H, Q=Q, S=S, k=k1, kdim=kdim, bd=bd,
-                    done=restart, loss_sq=loss_sq, trig_k=trig_k, arn=arn)
+        out = _givens_policy_step(cfg, c, h_col, h_next, beta, restart_tol,
+                                  pstate, minvb_norm, gram_vnext)
+        out["V"] = V
+        return out
 
+    return _run_inner(cond, body, carry0, m, unroll_all)
+
+
+def _run_inner(cond, body, carry0, m, unroll_all):
     if unroll_all:
         # static trip count -> unrolled scan: dynamic indices become
         # static, small ops fuse across iterations.  Only worth the
@@ -233,6 +256,89 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
     return final
 
 
+def _inner_cycle_df64(cfg: GmresConfig, A_in, M, w0h, w0l, beta, restart_tol,
+                      pstate: PolicyState, minvb_norm, n_local: int):
+    """The df64 inner Arnoldi loop (``PrecisionSpec.df64_inner``): the
+    Krylov basis and work vectors are (hi, lo) fp32 pairs with error-free
+    transforms (``ops/df64.py``, ~2^-48 accuracy), while the O(m^2)
+    scalar machinery (H, Q, Givens, policies) stays true fp64 — it is
+    tiny, and keeping it fp64 makes this tier converge like the
+    all-fp64 baseline without emulated-fp64 arrays in the O(n·m) work.
+    Mirrors ``_inner_cycle`` (shared ``_givens_policy_step`` tail)."""
+    from gmres_tpu.ops.df64 import (
+        df_gram,
+        df_orthonormalize_step,
+        df_scale,
+        split_f64,
+        spmv_df64_pair,
+        typesafe_apply_df64,
+    )
+
+    axis = cfg.axis_name
+    m = cfg.m
+    orthloss = cfg.policy == RestartPolicy.LOST_ORTHOGONALITY
+    unroll_all = (
+        cfg.policy == RestartPolicy.FIXED
+        or jax.default_backend() == "tpu"
+        or _FORCE_POLICY_UNROLL
+    )
+
+    Vh0 = jnp.zeros((m + 1, n_local), jnp.float32)
+    Vl0 = jnp.zeros_like(Vh0)
+    inv_beta = jnp.where(beta != 0, 1.0 / beta, jnp.zeros_like(beta))
+    v0h, v0l = df_scale(w0h, w0l, *split_f64(inv_beta))
+    Vh0 = Vh0.at[0].set(v0h)
+    Vl0 = Vl0.at[0].set(v0l)
+
+    carry0 = dict(
+        Vh=Vh0, Vl=Vl0,
+        H=jnp.zeros((m + 1, m), _f64),
+        Q=jnp.eye(m + 1, dtype=_f64),
+        S=(jnp.zeros((m + 1, m + 1), _f64) if orthloss
+           else jnp.zeros((1, 1), _f64)),
+        k=jnp.asarray(0, jnp.int32),
+        kdim=jnp.asarray(0, jnp.int32),
+        bd=jnp.asarray(False),
+        done=jnp.asarray(False),
+        loss_sq=jnp.asarray(0.0, _f64),
+        trig_k=jnp.asarray(m, jnp.int32),
+        arn=jnp.zeros((max(m, 1),), _f64),
+    )
+
+    def cond(c):
+        return ~c["done"]
+
+    def body(c):
+        Vh, Vl = c["Vh"], c["Vl"]
+        k = c["k"]
+
+        vkh = jax.lax.dynamic_index_in_dim(Vh, k, axis=0, keepdims=False)
+        vkl = jax.lax.dynamic_index_in_dim(Vl, k, axis=0, keepdims=False)
+        wh, wl = spmv_df64_pair(A_in, vkh, vkl, axis, cfg.use_pallas)
+        wh, wl = typesafe_apply_df64(M, wh, wl, axis, cfg.use_pallas)
+
+        h_col, (wh, wl), h_next = df_orthonormalize_step(
+            cfg.orth.value, Vh, Vl, k, wh, wl, axis, cfg.orth_steps,
+        )
+        inv_h = jnp.where(h_next != 0, 1.0 / h_next, jnp.zeros_like(h_next))
+        vnh, vnl = df_scale(wh, wl, *split_f64(inv_h))
+        Vh = jax.lax.dynamic_update_index_in_dim(Vh, vnh, k + 1, axis=0)
+        Vl = jax.lax.dynamic_update_index_in_dim(Vl, vnl, k + 1, axis=0)
+        h_col = h_col.at[k + 1].set(h_next)
+
+        def gram_vnext():
+            u = df_gram(Vh, Vl, vnh, vnl, axis)
+            return jnp.where(jnp.arange(m + 1) <= k, u, 0)
+
+        out = _givens_policy_step(cfg, c, h_col, h_next, beta, restart_tol,
+                                  pstate, minvb_norm, gram_vnext)
+        out["Vh"] = Vh
+        out["Vl"] = Vl
+        return out
+
+    return _run_inner(cond, body, carry0, m, unroll_all)
+
+
 def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
                        b, x, b_norm, minvb_norm, a_norm, pstate: PolicyState):
     """One outer iteration: residual, check_initial quantities, inner
@@ -247,6 +353,9 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
     # kernels — x and b are carried as (hi, lo) pairs so no emulated-fp64
     # array op ever executes (see ops/pallas/df64_kernel.py).
     df64 = hasattr(A_out, "data_hi")
+    df64_in = cfg.precision.df64_inner
+    if df64_in:
+        from gmres_tpu.ops.df64 import df_norm, typesafe_apply_df64
     unsplit = False
     if df64:
         from gmres_tpu.ops.pallas.df64_kernel import (
@@ -302,19 +411,33 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
                 A_out.data_hi, A_out.data_lo, b[0], b[1], xh_p, xl_p,
                 A_out.offsets,
             )
-        # w0 = fp32 demote of the fp64 residual == its hi component
-        w0 = rh.astype(in_dt)
         r_norm = jnp.sqrt(r_ss.astype(_f64))
         x_norm = jnp.sqrt(x_ss.astype(_f64))
-        w0 = typesafe_apply(M, w0, axis, cfg.use_pallas)
-        beta = nrm2(w0, axis)
+        if df64_in:
+            # the residual pair IS the inner representation — no demote
+            # (like the all-fp64 baseline, which never casts)
+            w0h, w0l = typesafe_apply_df64(M, rh, rl, axis, cfg.use_pallas)
+            beta = df_norm(w0h, w0l, axis)
+        else:
+            # w0 = fp32 demote of the fp64 residual == its hi component
+            w0 = typesafe_apply(M, rh.astype(in_dt), axis, cfg.use_pallas)
+            beta = nrm2(w0, axis)
     else:
         # r = b - A x in the outer dtype (gmres.cpp:62-63, 172-174)
         r = b - spmv(A_out, x, axis, use_pallas=cfg.use_pallas)
-        w0 = r.astype(in_dt)
-        r_norm = nrm2(w0, axis).astype(_f64)
-        w0 = typesafe_apply(M, w0, axis, cfg.use_pallas)
-        beta = nrm2(w0, axis)
+        if df64_in:
+            from gmres_tpu.ops.df64 import split_f64 as _split
+
+            r_norm = nrm2(r, axis).astype(_f64)
+            w0h, w0l = typesafe_apply_df64(
+                M, *_split(r.astype(jnp.float64)), axis, cfg.use_pallas
+            )
+            beta = df_norm(w0h, w0l, axis)
+        else:
+            w0 = r.astype(in_dt)
+            r_norm = nrm2(w0, axis).astype(_f64)
+            w0 = typesafe_apply(M, w0, axis, cfg.use_pallas)
+            beta = nrm2(w0, axis)
         x_norm = nrm2(x, axis).astype(_f64)
 
     rel_initial = r_norm / (b_norm + a_norm * x_norm)
@@ -334,8 +457,13 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
     n_local = x[0].shape[0] if df64 else x.shape[0]
 
     def run(x):
-        final = _inner_cycle(cfg, A_in, M, w0, beta, restart_tol, pstate,
-                             minvb_norm, n_local)
+        if df64_in:
+            final = _inner_cycle_df64(cfg, A_in, M, w0h, w0l, beta,
+                                      restart_tol, pstate, minvb_norm,
+                                      n_local)
+        else:
+            final = _inner_cycle(cfg, A_in, M, w0, beta, restart_tol, pstate,
+                                 minvb_norm, n_local)
         k_fin = final["k"]
         # solution_update (gmres.cpp:276-303): y = H[:k,:k]^{-1} s[:k];
         # x += V[:,:k] y, promoted to the outer dtype in mixed mode.
@@ -344,11 +472,20 @@ def restart_cycle_impl(cfg: GmresConfig, A_out: CSRMatrix, A_in: CSRMatrix, M,
         # triangular solve to the valid columns.
         s_fin = beta * final["Q"][:, 0]
         y = trsv_upper_padded(final["H"][:m, :m], s_fin[:m], final["kdim"])
-        x_inc = jnp.matmul(y, final["V"][:m], precision=_HI)
-        if df64:
-            x_new = axpy_df64(x[0], x[1], x_inc.astype(jnp.float32))
+        if df64_in:
+            from gmres_tpu.ops.df64 import df_add, df_basis_comb, merge_f64 as _merge
+
+            inch, incl = df_basis_comb(final["Vh"][:m], final["Vl"][:m], y)
+            if df64:
+                x_new = df_add(x[0], x[1], inch, incl)
+            else:
+                x_new = x + _merge(inch, incl).astype(out_dt)
         else:
-            x_new = x + x_inc.astype(out_dt)
+            x_inc = jnp.matmul(y, final["V"][:m], precision=_HI)
+            if df64:
+                x_new = axpy_df64(x[0], x[1], x_inc.astype(jnp.float32))
+            else:
+                x_new = x + x_inc.astype(out_dt)
         # |s(k+1)| at the (possibly post-hoc) cycle end: read the recorded
         # per-iteration proxy — rotations after the trigger have already
         # touched row k_fin of Q, so s_fin[k_fin] would be stale
@@ -682,6 +819,34 @@ def prepare_operators(A: CSRMatrix, cfg: GmresConfig, allow_df64: bool = True):
                 # XLA f64 gather alternative costs ~1.2 s per SpMV at 5M
                 # nnz (measured; VERDICT round-1 item 1 follow-through)
                 A_out = DF64Sell(sell=A_in)
+    # df64 inner tier (PrecisionSpec.df64_inner): ONE df64-split operator
+    # serves BOTH roles — the inner Arnoldi SpMV consumes (hi, lo) operand
+    # pairs (ops/df64.py:spmv_df64_pair) and the outer residual rides the
+    # same pairs through the fused df64 kernels.  Off-TPU the plain fp64
+    # operator stays (native fp64 is exact there; the pair path would be
+    # pure overhead).
+    if (
+        cfg.precision.df64_inner
+        and allow_df64
+        and cfg.use_pallas
+        and cfg.axis_name is None
+        and jax.default_backend() == "tpu"
+    ):
+        if (
+            hasattr(A_in, "offsets")
+            and A_in.n_rows >= 128 * 1024
+            and A_in.n_rows % (32 * 1024) == 0
+        ):
+            from gmres_tpu.ops.pallas.df64_kernel import DF64Dia
+
+            A_in = A_out = DF64Dia.from_dia(A_in)
+        elif isinstance(A_in, CSRMatrix) and A.n_rows >= 128 * 1024:
+            from gmres_tpu.ops.sell import DF64Sell, sell_from_csr
+
+            sell = sell_from_csr(A, df64=True)
+            if sell is not None:
+                A_in = A_out = DF64Sell(sell=sell)
+
     # Commit the staged operators to the device ONCE (the reference's
     # host->device deep_copy boundary, types_cuda.hpp:103-114).  Construction
     # keeps numpy-backed pytrees for host-side setup work; without this the

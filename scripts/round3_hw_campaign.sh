@@ -62,6 +62,11 @@ step bench_mgs 2400 python bench.py --orth mgs --repeats 3
 # 4. ILU-Jacobi headline (DIA-repacked factors fast path)
 step bench_ilujacobi 2400 python bench.py --prec ilu_jacobi --repeats 3
 
+# 4b. df64 tier positioning: fp64-quality inner loop as two-fp32 pairs —
+#     where does it land between mixed (f32 inner) and the emulated-fp64
+#     baseline?  (round-3 addition; ops/df64.py)
+step bench_df64 3600 python bench.py --modes baseline,mixed,df64 --repeats 3
+
 # 5. kernel microbenchmarks: banded + mesh classes (VERDICT item 2 numbers)
 step kernels_convdiff 1800 python -m gmres_tpu.cli.bench_kernels \
   --synth convdiff:1024 --json
