@@ -50,14 +50,23 @@ def read_history(mat: str, in_dir: str = "."):
         return [row for row in reader if row]
 
 
+def _filter_match(want, got) -> bool:
+    """Filter comparison: exact match first (the reference's semantics,
+    utils.py:19-37), then numeric equality (so ``1e-8`` matches the CSV's
+    ``1e-08``) and case-insensitive fallback (``cgsr`` vs ``CGSR``) — a
+    mismatched spelling must not silently select zero rows."""
+    if want is None or want == got:
+        return True
+    try:
+        return float(want) == float(got)
+    except (TypeError, ValueError):
+        return str(want).lower() == str(got).lower()
+
+
 def process_rows(mat, handlers: dict, in_dir: str = ".", **filters):
-    """Dispatch rows by mode code with optional exact-match filters
-    (utils.py:19-37)."""
+    """Dispatch rows by mode code with optional filters (utils.py:19-37)."""
     for row in read_history(mat, in_dir):
-        if all(
-            filters[k] is None or filters[k] == row[k]
-            for k in filters
-        ):
+        if all(_filter_match(filters[k], row[k]) for k in filters):
             fn = handlers.get(row["type"])
             if fn:
                 fn(row)

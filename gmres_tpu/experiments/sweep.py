@@ -173,12 +173,16 @@ def main(argv=None) -> int:
         mat_name = mat
         b_path = os.path.join(mat_dir, mat + "_b.mtx") if args.rhs else None
 
-    rlens = [int(x) for x in args.rlens.split()]
-    rtols = [float(x) for x in args.rtols.split()] if args.rtols else [0.0]
-    tols = [float(x) for x in args.tols.split()]
-    rorths = [float(x) for x in args.rorth.split()]
-    seeds = [int(x) for x in args.seeds.split()]
-    precs = args.prec.split()
+    def _split(s: str) -> list:
+        # list-valued args accept space- or comma-separated values
+        return s.replace(",", " ").split()
+
+    rlens = [int(x) for x in _split(args.rlens)]
+    rtols = [float(x) for x in _split(args.rtols)] if args.rtols else [0.0]
+    tols = [float(x) for x in _split(args.tols)]
+    rorths = [float(x) for x in _split(args.rorth)]
+    seeds = [int(x) for x in _split(args.seeds)]
+    precs = _split(args.prec)
 
     modes = (
         ([] if args.skip_baseline else ["baseline"])

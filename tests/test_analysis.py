@@ -51,6 +51,17 @@ def test_latex_and_plot(tmp_path):
     assert geo > 1.0
 
 
+def test_filter_match_normalization():
+    from gmres_tpu.experiments.history import _filter_match
+
+    assert _filter_match(None, "anything")
+    assert _filter_match("1e-08", "1e-08")
+    assert _filter_match("1e-8", "1e-08")      # numeric equality
+    assert _filter_match("cgsr", "CGSR")       # case-insensitive fallback
+    assert not _filter_match("1e-6", "1e-08")
+    assert not _filter_match("MGS", "CGSR")
+
+
 def test_suites():
     from gmres_tpu.experiments.suites import suite
 

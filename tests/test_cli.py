@@ -119,6 +119,33 @@ def test_sweep_and_findmin(tmp_path):
     assert out2.returncode == 0, out2.stderr
     assert out2.stdout.startswith("'poisson2d10': [(")
 
+    # normalized filter spellings select the same rows: 1e-6 vs the CSV's
+    # 1e-06, lowercase orth name (regression: exact-string filters silently
+    # produced empty findmin output for the campaign's arg spellings)
+    out3 = run_cli(
+        "gmres_tpu.experiments.findmin",
+        "--plotting-format", "--in-dir", str(tmp_path),
+        "1e-6", "mgs", "cpu", "identity", "poisson2d10",
+    )
+    assert out3.returncode == 0, out3.stderr
+    assert out3.stdout == out2.stdout
+
+
+def test_sweep_comma_lists(tmp_path):
+    """List-valued sweep args accept comma separators (regression: the
+    campaign script passes seeds as ``42,42`` which whitespace-split
+    parsed as one invalid int)."""
+    out = run_cli(
+        "gmres_tpu.experiments.sweep",
+        "--device", "cpu", "--prec", "identity", "--orth", "mgs",
+        "--no-singleprec", "--no-single", "--no-baseline", "--warmup", "0",
+        "--out-dir", str(tmp_path),
+        "poisson2d:10", "10", "0", "1e-6", "42,7",
+    )
+    assert out.returncode == 0, out.stderr
+    lines = (tmp_path / "history-poisson2d10.csv").read_text().strip().splitlines()
+    assert len(lines) == 2  # mixed x 2 seeds
+
 
 def test_condest_accuracy():
     import jax
