@@ -184,6 +184,13 @@ class GmresConfig:
     # bf16 is usable rather than a footgun; the escalation is recorded in
     # GmresResult.escalated.
     bf16_escalation: bool = True
+    # Distributed MGS: replace the k+1 sequential per-step allreduces with
+    # the one-reduce ICWY reformulation (Świrydowicz et al. 2020) — one
+    # batched psum + a tiny local triangular correction solve per Arnoldi
+    # step, orthogonality loss O(eps*kappa) like true MGS.  Only consulted
+    # when axis_name is set and orth == MGS; off restores the textbook
+    # sequential recurrence (exact single-device MGS semantics).
+    low_sync_mgs: bool = True
     # Apply a bandwidth-reducing RCM reordering automatically when the
     # operator's pattern defeats the fast formats (DIA rejects it) — the
     # solve runs on the permuted system and returns the un-permuted

@@ -9,7 +9,10 @@ SURVEY.md §2.4), recast for a row-stored Krylov basis ``V`` of static shape
   FLOPs for an XLA-friendly dataflow);
 - CGS is two basis matvecs and **one** allreduce per Arnoldi step; MGS is
   k+1 sequential dot/axpy pairs (k+1 allreduces) — the reason CGS/CGSR are
-  the TPU defaults at scale, consistent with the paper's GPU findings;
+  the TPU defaults at scale, consistent with the paper's GPU findings.
+  Distributed MGS defaults to the one-reduce ICWY reformulation
+  (``mgs_lowsync_step``; cfg.low_sync_mgs) so its allreduce count matches
+  CGS without giving up MGS-grade orthogonality;
 - CGSR re-runs the CGS pass ``orth_steps-1`` more times, accumulating the
   correction weights into h (``Orthogonalization.hpp:129-134``).
 
@@ -110,6 +113,56 @@ def mgs(V, k, w, axis_name=None, assume_zero_tail=False, use_pallas=True):
 
     h, w = jax.lax.fori_loop(0, k + 1, body, (h, w))
     return h, w
+
+
+def mgs_lowsync_step(V, k, w, L, axis_name):
+    """One low-synchronization MGS Arnoldi step (ICWY / one-reduce MGS).
+
+    Classic MGS needs k+1 *sequential* allreduces per Arnoldi step (each
+    h_j is a global dot on the already-updated w) — the latency term that
+    makes distributed MGS the slow orthogonalization at scale
+    (``Orthogonalization.hpp:91-107`` is inherently sequential).  The
+    inverse-compact-WY reformulation (Świrydowicz, Langou, Ananthan,
+    Yamazaki, Thomas, *Low-synchronization orthogonalization schemes for
+    s-step and pipelined Krylov solvers*, NLAA 2020) observes that the MGS
+    projection is, to first order in the orthogonality loss,
+
+        h = (I + L_k)^{-1} V_k^T w,   L_k = strict lower tri of V_k^T V_k,
+
+    and L can be maintained one row per step from the SAME reduction that
+    computes V^T w: one batched psum of the (m+1, 2) matrix V @ [w, v_k]
+    replaces the k+1 scalar psums.  The correction solve is a unit lower
+    triangular (m+1)x(m+1) system — tiny, local, and the orthogonality
+    loss stays O(eps * kappa) like true MGS (ibid., Thm 3.1/experiments).
+
+    Args: ``V`` (m+1, n_local) with rows > k zero (Arnoldi invariant),
+    ``w`` the vector to project, ``L`` the running (m+1, m+1) strict
+    lower-triangular coupling matrix in the accumulation dtype, ``k`` the
+    current step.  Returns ``(h, w', ss_local, L')``: projection
+    coefficients (V.dtype, zero beyond k), the projected vector, the
+    LOCAL sum of squares of w' (callers psum it for the norm — the only
+    other reduction of the step), and L with row k filled in.
+    """
+    at = L.dtype  # accumulation dtype (f32 for bf16/f32 bases, f64 for f64)
+    m1 = V.shape[0]
+    Vf = _acc(V).astype(at)
+    v_k = jax.lax.dynamic_index_in_dim(Vf, k, axis=0, keepdims=False)
+    ops = jnp.stack([_acc(w).astype(at), v_k], axis=0)          # (2, n)
+    P = jnp.einsum("jn,cn->jc", Vf, ops, precision=_HI)          # (m+1, 2)
+    if axis_name is not None:
+        P = jax.lax.psum(P, axis_name)
+    u = P[:, 0]                       # V^T w; rows > k are zero already
+    ell = jnp.where(jnp.arange(m1) < k, P[:, 1], 0)  # strict row k of V^T V
+    L = jax.lax.dynamic_update_slice(
+        L, ell[None, :], (jnp.asarray(k, jnp.int32), jnp.int32(0)))
+    # rows > k of L are still zero and u is zero there, so solving the full
+    # static-shape unit-lower-triangular system leaves h[j>k] = 0
+    h = jax.scipy.linalg.solve_triangular(
+        L + jnp.eye(m1, dtype=at), u, lower=True, unit_diagonal=True
+    )
+    wf = ops[0] - jnp.einsum("j,jn->n", h, Vf, precision=_HI)
+    ss_local = jnp.sum(wf * wf)
+    return h.astype(V.dtype), wf.astype(w.dtype), ss_local, L
 
 
 def cgsr(V, k, w, axis_name=None, orth_steps: int = 2, assume_zero_tail=False,

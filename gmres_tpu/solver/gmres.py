@@ -179,6 +179,13 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
     Q0 = jnp.eye(m + 1, dtype=in_dt)
     S0 = jnp.zeros((m + 1, m + 1), dtype=in_dt) if orthloss else jnp.zeros((1, 1), in_dt)
 
+    # Distributed MGS rides the one-reduce ICWY path (ops/orth.py:
+    # mgs_lowsync_step) unless opted out: carry the strictly-lower
+    # triangular basis-coupling matrix L, built one row per step.
+    lowsync = (axis is not None and cfg.orth.value == "mgs"
+               and cfg.low_sync_mgs)
+    acc_dt = _f64 if in_dt == jnp.float64 else jnp.float32
+
     carry0 = dict(
         V=V0, H=H0, Q=Q0, S=S0,
         k=jnp.asarray(0, jnp.int32),
@@ -189,6 +196,8 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         trig_k=jnp.asarray(m, jnp.int32),   # first k1 where the policy fired
         arn=jnp.zeros((max(m, 1),), _f64),  # |s(k+1)| after iteration k
     )
+    if lowsync:
+        carry0["L"] = jnp.zeros((m + 1, m + 1), acc_dt)
 
     def cond(c):
         return ~c["done"]
@@ -201,10 +210,17 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         w = spmv(A_in, v_k, axis, use_pallas=cfg.use_pallas)
         w = typesafe_apply(M, w, axis, cfg.use_pallas)
 
-        h_col, w, h_next = orthonormalize_step(
-            cfg.orth.value, V, k, w, axis, cfg.orth_steps,
-            assume_zero_tail=True, use_pallas=cfg.use_pallas,
-        )
+        if lowsync:
+            from gmres_tpu.ops.orth import mgs_lowsync_step
+
+            h_col, w, ss_loc, L_new = mgs_lowsync_step(V, k, w, c["L"], axis)
+            h_next = jnp.sqrt(
+                jax.lax.psum(ss_loc, axis)).astype(in_dt)
+        else:
+            h_col, w, h_next = orthonormalize_step(
+                cfg.orth.value, V, k, w, axis, cfg.orth_steps,
+                assume_zero_tail=True, use_pallas=cfg.use_pallas,
+            )
         # The reference divides unconditionally (Orthogonalization.hpp:59 —
         # no happy-breakdown guard); we guard the h==0 case to a zero vector
         # (mirrors first_vector's beta==0 branch) instead of poisoning with NaN.
@@ -232,6 +248,8 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         out = _givens_policy_step(cfg, c, h_col, h_next, beta, restart_tol,
                                   pstate, minvb_norm, gram_vnext)
         out["V"] = V
+        if lowsync:
+            out["L"] = L_new
         return out
 
     return _run_inner(cond, body, carry0, m, unroll_all)

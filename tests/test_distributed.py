@@ -87,7 +87,11 @@ def test_distributed_preconditioners(prec):
     assert err < 1e-3
 
 
-def test_distributed_mgs():
+@pytest.mark.parametrize("low_sync", [True, False])
+def test_distributed_mgs(low_sync):
+    """Distributed MGS: the default one-reduce ICWY path (low_sync_mgs)
+    and the textbook k+1-psum recurrence both converge like single-device
+    MGS (same restart structure, same solution)."""
     A = poisson_2d(10)
     x_true = rand_vect(A.n_rows, 1)
     b = np.asarray(spmv(A, jnp.asarray(x_true)))
@@ -98,6 +102,30 @@ def test_distributed_mgs():
         restart_length=12,
         tol=1e-8,
         max_restarts=500,
+        low_sync_mgs=low_sync,
     )
+    res_s = solve(A, b, cfg)
     res = solve_distributed(A, b, cfg, mesh=mesh_of(4))
     assert res.converged
+    assert abs(res.total_iters - res_s.total_iters) <= cfg.restart_length
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.asarray(res_s.x), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_distributed_mgs_mixed_lowsync():
+    """Mixed precision (f32 inner) distributed MGS on the ICWY path."""
+    A = convection_diffusion_2d(10)
+    x_true = rand_vect(A.n_rows, 3)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("mixed"),
+        orth="mgs",
+        precond="jacobi",
+        restart_length=15,
+        tol=1e-8,
+        max_restarts=500,
+    )
+    res = solve_distributed(A, b, cfg, mesh=mesh_of(8))
+    assert res.converged
+    assert np.linalg.norm(np.asarray(res.x) - x_true) < 1e-3

@@ -123,6 +123,52 @@ def test_orthogonalization_matches_reference(kind):
     np.testing.assert_allclose(np.asarray(h)[k + 1 :], 0, atol=0)
 
 
+def test_mgs_lowsync_step_matches_mgs():
+    """ICWY one-reduce MGS (ops/orth.py:mgs_lowsync_step): coefficients
+    agree with classic MGS to second order in the orthogonality loss, the
+    projected vector is orthogonal to the basis, and the projection
+    identity w' = w - h @ V holds exactly (the Arnoldi relation GMRES
+    relies on)."""
+    from gmres_tpu.ops.orth import mgs_lowsync_step
+
+    rng = np.random.default_rng(11)
+    m, n, k = 10, 300, 6
+    Q, _ = np.linalg.qr(rng.standard_normal((n, m + 1)))
+    V = Q.T.copy()
+    # slightly non-orthogonal basis (loss ~1e-6): the regime where ICWY's
+    # (I+L)^{-1} correction differs from CGS and must track MGS
+    V[: k + 1] += 1e-6 * rng.standard_normal((k + 1, n))
+    V[k + 1 :] = 0.0  # Arnoldi invariant: rows beyond k are zero
+    w = rng.standard_normal(n)
+
+    # build L the way the Arnoldi loop does: one row per completed step
+    L = np.tril(V @ V.T, k=-1)
+    L[k + 1 :] = 0.0
+    L[k] = 0.0  # row k is filled inside the step itself
+    h, w2, ss, L2 = mgs_lowsync_step(
+        jnp.asarray(V), k, jnp.asarray(w), jnp.asarray(L), None
+    )
+    h, w2 = np.asarray(h), np.asarray(w2)
+
+    h_ref, w_ref = _np_orth_reference(V, k, w, "mgs")
+    np.testing.assert_allclose(h[: k + 1], h_ref[: k + 1], atol=1e-9)
+    np.testing.assert_allclose(h[k + 1 :], 0, atol=0)
+    np.testing.assert_allclose(w2, w_ref, atol=1e-8)
+    # a single (M)GS pass leaves FIRST-order non-orthogonality (later
+    # projections reintroduce earlier components — that is MGS's own
+    # behavior, not an ICWY artifact); assert we are no worse than MGS
+    assert (np.abs(V[: k + 1] @ w2).max()
+            <= np.abs(V[: k + 1] @ w_ref).max() + 1e-9)
+    # the projection identity is exact (not just first-order): w2 is
+    # literally w - h @ V with the returned h
+    np.testing.assert_allclose(w2, w - h @ V, atol=1e-13)
+    np.testing.assert_allclose(float(ss), float(w2 @ w2), rtol=1e-12)
+    # L gained exactly row k (strict lower part of V Vt)
+    np.testing.assert_allclose(
+        np.asarray(L2)[k, :k], (V @ V.T)[k, :k], atol=1e-12
+    )
+
+
 def test_trsv_padded():
     rng = np.random.default_rng(6)
     m, k = 12, 7
