@@ -176,6 +176,43 @@ def df_mgs(Vh, Vl, k, wh, wl, axis_name=None):
     return h, wh, wl
 
 
+def df_mgs_lowsync_step(Vh, Vl, k, wh, wl, L, axis_name):
+    """One-reduce ICWY MGS step on (hi, lo) pairs — the df64 analog of
+    ``ops/orth.py:mgs_lowsync_step`` (Świrydowicz et al., NLAA 2020).
+
+    Both grams of the step (V^T w for the projection, V^T v_k for row k
+    of the coupling matrix L) are computed locally in df64 and reduced in
+    ONE batched pair-psum; the unit-lower-triangular correction solve
+    runs in plain fp64 (the scalar machinery's dtype).  Returns
+    ``(h_f64, (wh, wl), (ssh, ssl), L')`` with the sum of squares of the
+    projected vector as a LOCAL df64 pair — callers psum it for the norm
+    (the step's only other reduction).
+    """
+    m1 = Vh.shape[0]
+    vkh = jax.lax.dynamic_index_in_dim(Vh, k, axis=0, keepdims=False)
+    vkl = jax.lax.dynamic_index_in_dim(Vl, k, axis=0, keepdims=False)
+    # local pair-grams, batched into one reduction payload (2, m+1)
+    pwh, pwl = df_mul(Vh, Vl, wh[None, :], wl[None, :])
+    swh, swl = df_sum(pwh, pwl, axis=-1)
+    pvh, pvl = df_mul(Vh, Vl, vkh[None, :], vkl[None, :])
+    svh, svl = df_sum(pvh, pvl, axis=-1)
+    Sh = jnp.stack([swh, svh])
+    Sl = jnp.stack([swl, svl])
+    if axis_name is not None:
+        Sh, Sl = _psum_pairs(Sh, Sl, axis_name)
+    P = merge_f64(Sh, Sl)                                   # (2, m+1) f64
+    u = P[0]                          # V^T w; rows > k are zero already
+    ell = jnp.where(jnp.arange(m1) < k, P[1], 0.0)
+    L = jax.lax.dynamic_update_slice(
+        L, ell[None, :], (jnp.asarray(k, jnp.int32), jnp.int32(0)))
+    h = jax.scipy.linalg.solve_triangular(
+        L + jnp.eye(m1, dtype=L.dtype), u, lower=True, unit_diagonal=True
+    )
+    wh, wl = df_update(wh, wl, Vh, Vl, h)   # exact: w' = w - sum h_j v_j
+    sh, sl = df_sum(*df_mul(wh, wl, wh, wl), axis=-1)
+    return h, (wh, wl), (sh, sl), L
+
+
 def df_orthonormalize_step(kind: str, Vh, Vl, k, wh, wl, axis_name=None,
                            orth_steps: int = 2):
     """Orthogonalize + norm in df64: ``(h_col_f64, (wh, wl), h_next_f64)``

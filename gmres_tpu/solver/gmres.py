@@ -295,6 +295,8 @@ def _inner_cycle_df64(cfg: GmresConfig, A_in, M, w0h, w0l, beta, restart_tol,
     axis = cfg.axis_name
     m = cfg.m
     orthloss = cfg.policy == RestartPolicy.LOST_ORTHOGONALITY
+    lowsync = (axis is not None and cfg.orth.value == "mgs"
+               and cfg.low_sync_mgs)
     unroll_all = (
         cfg.policy == RestartPolicy.FIXED
         or jax.default_backend() == "tpu"
@@ -322,6 +324,8 @@ def _inner_cycle_df64(cfg: GmresConfig, A_in, M, w0h, w0l, beta, restart_tol,
         trig_k=jnp.asarray(m, jnp.int32),
         arn=jnp.zeros((max(m, 1),), _f64),
     )
+    if lowsync:
+        carry0["L"] = jnp.zeros((m + 1, m + 1), _f64)
 
     def cond(c):
         return ~c["done"]
@@ -335,9 +339,16 @@ def _inner_cycle_df64(cfg: GmresConfig, A_in, M, w0h, w0l, beta, restart_tol,
         wh, wl = spmv_df64_pair(A_in, vkh, vkl, axis, cfg.use_pallas)
         wh, wl = typesafe_apply_df64(M, wh, wl, axis, cfg.use_pallas)
 
-        h_col, (wh, wl), h_next = df_orthonormalize_step(
-            cfg.orth.value, Vh, Vl, k, wh, wl, axis, cfg.orth_steps,
-        )
+        if lowsync:
+            from gmres_tpu.ops.df64 import _psum_pairs, df_mgs_lowsync_step, merge_f64
+
+            h_col, (wh, wl), (ssh, ssl), L_new = df_mgs_lowsync_step(
+                Vh, Vl, k, wh, wl, c["L"], axis)
+            h_next = jnp.sqrt(merge_f64(*_psum_pairs(ssh, ssl, axis)))
+        else:
+            h_col, (wh, wl), h_next = df_orthonormalize_step(
+                cfg.orth.value, Vh, Vl, k, wh, wl, axis, cfg.orth_steps,
+            )
         inv_h = jnp.where(h_next != 0, 1.0 / h_next, jnp.zeros_like(h_next))
         vnh, vnl = df_scale(wh, wl, *split_f64(inv_h))
         Vh = jax.lax.dynamic_update_index_in_dim(Vh, vnh, k + 1, axis=0)
@@ -352,6 +363,8 @@ def _inner_cycle_df64(cfg: GmresConfig, A_in, M, w0h, w0l, beta, restart_tol,
                                   pstate, minvb_norm, gram_vnext)
         out["Vh"] = Vh
         out["Vl"] = Vl
+        if lowsync:
+            out["L"] = L_new
         return out
 
     return _run_inner(cond, body, carry0, m, unroll_all)

@@ -139,6 +139,28 @@ def test_df64_distributed():
     assert np.linalg.norm(np.asarray(r.x, np.float64) - x_true) < 1e-6
 
 
+@pytest.mark.parametrize("low_sync", [True, False])
+def test_df64_distributed_mgs(low_sync):
+    """Distributed df64 MGS: the one-reduce ICWY pair path
+    (ops/df64.py:df_mgs_lowsync_step) and the sequential pair recurrence
+    both converge to fp64 quality like the baseline."""
+    from gmres_tpu.parallel.dist_gmres import solve_distributed
+
+    A = convection_diffusion_2d(16, beta=1.0)
+    x_true, b = _problem(A)
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("df64"), orth="mgs",
+        precond="jacobi", restart_length=12, tol=1e-11, max_restarts=100,
+        low_sync_mgs=low_sync,
+    )
+    r = solve_distributed(A, b, cfg)
+    base = solve_distributed(
+        A, b, cfg.with_(precision=PrecisionSpec.from_mode("baseline")))
+    assert r.converged and base.converged
+    assert abs(r.total_iters - base.total_iters) <= cfg.restart_length
+    assert np.linalg.norm(np.asarray(r.x, np.float64) - x_true) < 1e-6
+
+
 def test_df64_spec_validation():
     with pytest.raises(ValueError, match="df64_inner"):
         PrecisionSpec("float64", "float32", "float32", df64_inner=True)
