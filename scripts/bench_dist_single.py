@@ -54,6 +54,17 @@ def main():
           f"iters={resd.total_iters} conv={resd.converged}", flush=True)
     print(f"ratio: {td/t1:.3f}x (target <= 1.15x)", flush=True)
 
+    # distributed MGS: one-reduce ICWY path vs the sequential recurrence
+    # (ops/orth.py:mgs_lowsync_step; on a 1-device mesh the psums are
+    # free, so this isolates the reformulation's COMPUTE cost — the
+    # collective savings shows up only on real multi-chip meshes)
+    for low_sync in (True, False):
+        cfg_m = cfg.with_(orth="mgs", low_sync_mgs=low_sync)
+        resm, tm = timed(lambda: solve_distributed(A, b, cfg_m, mesh=mesh))
+        label = "icwy-1reduce" if low_sync else "sequential  "
+        print(f"dist MGS {label}: {tm:.3f}s restarts={resm.restarts} "
+              f"iters={resm.total_iters} conv={resm.converged}", flush=True)
+
 
 if __name__ == "__main__":
     main()
