@@ -113,6 +113,39 @@ def test_distributed_mgs(low_sync):
     )
 
 
+@pytest.mark.parametrize("policy,rimp", [
+    ("relres", 0.5),
+    ("repeat", 0.5),
+    ("orthloss", 1e-4),
+])
+def test_distributed_policies(policy, rimp):
+    """Non-FIXED restart policies under shard_map: the policy predicates
+    (including orthloss's S-recurrence gram psum) agree with the
+    single-device cycle — same restart structure, same solution."""
+    A = convection_diffusion_2d(10)
+    x_true = rand_vect(A.n_rows, 5)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    cfg = GmresConfig(
+        precision=PrecisionSpec.from_mode("mixed"),
+        orth="cgsr",
+        precond="jacobi",
+        policy=policy,
+        restart_improvement=rimp,
+        restart_length=15,
+        tol=1e-8,
+        max_restarts=500,
+    )
+    res_s = solve(A, b, cfg)
+    res_d = solve_distributed(A, b, cfg, mesh=mesh_of(8))
+    assert res_d.converged and res_s.converged
+    # policy triggers are scalar comparisons on psum'd quantities; tiny
+    # reassociation differences can shift a borderline restart boundary
+    assert abs(res_d.restarts - res_s.restarts) <= 1
+    np.testing.assert_allclose(
+        np.asarray(res_d.x), np.asarray(res_s.x), rtol=1e-5, atol=1e-7
+    )
+
+
 def test_distributed_mgs_mixed_lowsync():
     """Mixed precision (f32 inner) distributed MGS on the ICWY path."""
     A = convection_diffusion_2d(10)
