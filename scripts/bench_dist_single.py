@@ -65,6 +65,22 @@ def main():
         print(f"dist MGS {label}: {tm:.3f}s restarts={resm.restarts} "
               f"iters={resm.total_iters} conv={resm.converged}", flush=True)
 
+    # SELL (unstructured) fast-path retention under sharding (round-2
+    # VERDICT item 3 'done' criterion: 1-device-mesh wall within 15% of
+    # the non-sharded SELL solve)
+    from gmres_tpu.io.synth import unstructured_mesh
+
+    Au = unstructured_mesh(nx * nx, run=8)
+    xu = rand_vect(Au.n_rows, 42)
+    bu = np.asarray(spmv(Au, jnp.asarray(xu)))
+    resu1, tu1 = timed(lambda: solve(Au, bu, cfg))
+    print(f"single-device SELL solve: {tu1:.3f}s restarts={resu1.restarts} "
+          f"iters={resu1.total_iters} conv={resu1.converged}", flush=True)
+    resud, tud = timed(lambda: solve_distributed(Au, bu, cfg, mesh=mesh))
+    print(f"1-device-mesh SELL solve: {tud:.3f}s restarts={resud.restarts} "
+          f"iters={resud.total_iters} conv={resud.converged}", flush=True)
+    print(f"SELL ratio: {tud/tu1:.3f}x (target <= 1.15x)", flush=True)
+
 
 if __name__ == "__main__":
     main()
