@@ -44,6 +44,7 @@ from gmres_tpu.ops.dia import DIAMatrix  # noqa: E402
 from gmres_tpu.ops.sell import SELLMatrix, sell_from_csr  # noqa: E402
 from gmres_tpu.parallel.dist_gmres import solve_distributed  # noqa: E402
 from gmres_tpu.solver.gmres import solve, stage, GmresResult  # noqa: E402
+from gmres_tpu.solver.batched import solve_batched  # noqa: E402
 from gmres_tpu.io.loader import load_matrix, load_vector  # noqa: E402
 from gmres_tpu.io.rng import rand_vect  # noqa: E402
 
@@ -62,6 +63,7 @@ __all__ = [
     "csr_from_dense",
     "solve_distributed",
     "solve",
+    "solve_batched",
     "stage",
     "GmresResult",
     "load_matrix",

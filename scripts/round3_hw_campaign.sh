@@ -100,4 +100,8 @@ step bench_policy 2400 python scripts/bench_policy.py
 # 9. distributed 1-device-mesh wall vs single device (fast-path retention)
 step bench_dist 2400 python scripts/bench_dist_single.py
 
+# 10. multi-RHS serving throughput (solve_batched: operator bandwidth
+#     amortized across lanes; round-3 addition, solver/batched.py)
+step bench_batched 2400 python scripts/bench_batched.py 1024 8
+
 echo "campaign complete; artifacts in $OUT"
