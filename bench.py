@@ -123,9 +123,20 @@ def main():
     for need in ("baseline", "mixed"):
         if need not in modes:
             raise SystemExit(f"--modes must include {need!r}")
+
+    def mode_spec(mode):
+        # "mixed-cb": the mixed staging with a compressed (bfloat16)
+        # Krylov basis — CB-GMRES (PrecisionSpec.basis, arXiv:2009.12101)
+        if mode == "mixed-cb":
+            import dataclasses
+
+            return dataclasses.replace(PrecisionSpec.from_mode("mixed"),
+                                       basis="bfloat16")
+        return PrecisionSpec.from_mode(mode)
+
     results = {}
     for mode in modes:
-        cfg = GmresConfig(precision=PrecisionSpec.from_mode(mode), **common)
+        cfg = GmresConfig(precision=mode_spec(mode), **common)
         # ILU factors need the CSR structure; build from the original
         # matrix (setup phase, like the reference's separately-timed "ilu")
         M = None

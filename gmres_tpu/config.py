@@ -92,6 +92,16 @@ class PrecisionSpec:
     # accuracy (~2^-48) without emulated-fp64 arrays in the hot loop.
     # Requires inner == "float64" (it is a REPRESENTATION of fp64).
     df64_inner: bool = False
+    # Compressed-basis tier (CB-GMRES — Aliaga, Anzt, Grützmacher, Quintana-
+    # Ortí, Tomás, "Compressed Basis GMRES on High Performance GPUs",
+    # arXiv:2009.12101): store the Krylov basis V in a NARROWER dtype than
+    # the arithmetic.  The basis streams dominate orthogonalization HBM
+    # traffic (CGSR reads V three times per iteration), so a bfloat16 basis
+    # under a float32 inner loop (or float32 under float64) halves that
+    # traffic while w, H, Givens and all reductions stay in the inner
+    # dtype — unlike lowering `inner` itself, only the STORAGE of V is
+    # compressed.  None = store the basis in the inner dtype (default).
+    basis: str | None = None
 
     def __post_init__(self):
         for name in (self.outer, self.inner, self.precond):
@@ -102,6 +112,19 @@ class PrecisionSpec:
                 "df64_inner carries an fp64-quality inner loop as two-fp32 "
                 "pairs; set inner='float64' with it"
             )
+        if self.basis is not None:
+            if self.basis not in _DTYPES:
+                raise ValueError(
+                    f"unsupported basis dtype {self.basis!r}; use one of {_DTYPES}")
+            if self.df64_inner:
+                raise ValueError(
+                    "basis compression and df64_inner are exclusive (the "
+                    "df64 loop already carries its own two-fp32 basis)")
+            # _DTYPES is widest-first; the basis must be narrower or equal
+            if _DTYPES.index(self.basis) < _DTYPES.index(self.inner):
+                raise ValueError(
+                    f"basis dtype {self.basis!r} is wider than inner "
+                    f"{self.inner!r}; compression stores V narrower")
 
     @staticmethod
     def from_mode(mode: Mode | str) -> "PrecisionSpec":
@@ -136,6 +159,14 @@ class PrecisionSpec:
         import jax.numpy as jnp
 
         return jnp.dtype(self.precond)
+
+    @property
+    def basis_dtype(self):
+        """Storage dtype of the Krylov basis (the inner dtype unless
+        compressed — CB-GMRES, see the ``basis`` field)."""
+        import jax.numpy as jnp
+
+        return jnp.dtype(self.basis) if self.basis is not None else self.inner_dtype
 
 
 @dataclasses.dataclass(frozen=True)

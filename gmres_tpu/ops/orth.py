@@ -51,7 +51,7 @@ def _masked_gram(V: jax.Array, w: jax.Array, k, axis_name, mask=True):
     a measurable fixed cost on TPU, so dead ops matter).  The orth-loss
     recurrence reads V *after* the row write and must keep the mask.
     """
-    u = jnp.sum(_acc(V) * _acc(w)[None, :], axis=1).astype(V.dtype)
+    u = jnp.sum(_acc(V) * _acc(w)[None, :], axis=1).astype(w.dtype)
     if mask:
         u = jnp.where(jnp.arange(V.shape[0]) <= k, u, 0)
     if axis_name is not None:
@@ -67,7 +67,7 @@ def cgs(V, k, w, axis_name=None, assume_zero_tail=False, use_pallas=True):
     the fp32 pass routes through the fused Pallas kernels (measured 8x
     over the XLA formulation inside solver loops: 418 vs 51 GB/s on v5e).
     """
-    if assume_zero_tail:
+    if assume_zero_tail and w.dtype != jnp.float64:
         from gmres_tpu.ops.pallas.orth_kernel import _gram, _update, profitable
 
         if profitable(V, use_pallas):
@@ -89,23 +89,23 @@ def mgs(V, k, w, axis_name=None, assume_zero_tail=False, use_pallas=True):
     over V — the traffic of a single CGS Gram pass.  Distributed MGS keeps
     the rolled form: each h_j needs its own psum before the update (the
     k+1-allreduce cost that makes CGS/CGSR the at-scale defaults)."""
-    if assume_zero_tail and axis_name is None:
+    if assume_zero_tail and axis_name is None and w.dtype != jnp.float64:
         from gmres_tpu.ops.pallas.orth_kernel import _mgs, mgs_profitable
 
         if mgs_profitable(V, use_pallas):
             h, w2, _ = _mgs(V, w)
             return h, w2
     m1 = V.shape[0]
-    h = jnp.zeros((m1,), dtype=V.dtype)
+    h = jnp.zeros((m1,), dtype=w.dtype)
 
     def body(j, carry):
         h, w = carry
         vj = V[j]
-        if V.dtype == jnp.bfloat16:
+        if jnp.bfloat16 in (V.dtype, w.dtype):
             hj_f = jnp.sum(_acc(w) * _acc(vj))
             if axis_name is not None:
                 hj_f = jax.lax.psum(hj_f, axis_name)
-            hj = hj_f.astype(V.dtype)
+            hj = hj_f.astype(w.dtype)
         else:
             hj = dot(w, vj, axis_name)
         w = (_acc(w) - _acc(hj) * _acc(vj)).astype(w.dtype)
@@ -162,7 +162,7 @@ def mgs_lowsync_step(V, k, w, L, axis_name):
     )
     wf = ops[0] - jnp.einsum("j,jn->n", h, Vf, precision=_HI)
     ss_local = jnp.sum(wf * wf)
-    return h.astype(V.dtype), wf.astype(w.dtype), ss_local, L
+    return h.astype(w.dtype), wf.astype(w.dtype), ss_local, L
 
 
 def cgsr(V, k, w, axis_name=None, orth_steps: int = 2, assume_zero_tail=False,
@@ -198,7 +198,7 @@ def orthonormalize_step(kind: str, V, k, w, axis_name=None,
     saving a separate pass over w — and fusing CGSR's middle update+gram
     into one V sweep (3 basis reads per CGSR step instead of 5 passes).
     """
-    if assume_zero_tail:
+    if assume_zero_tail and w.dtype != jnp.float64:
         from gmres_tpu.ops.pallas.orth_kernel import (
             _gram,
             _mgs,
@@ -221,15 +221,15 @@ def orthonormalize_step(kind: str, V, k, w, axis_name=None,
                 w2, ss = _update_sumsq(V, w, u)
                 if axis_name is not None:
                     ss = jax.lax.psum(ss, axis_name)
-                return u, w2, jnp.sqrt(ss).astype(V.dtype)
+                return u, w2, jnp.sqrt(ss).astype(w.dtype)
     h, w = orthogonalize(kind, V, k, w, axis_name, orth_steps,
                          assume_zero_tail, use_pallas)
     from gmres_tpu.ops.blas import nrm2
 
-    if V.dtype == jnp.bfloat16:
+    if w.dtype == jnp.bfloat16:
         wf = _acc(w)
         ss = jnp.sum(wf * wf)
         if axis_name is not None:
             ss = jax.lax.psum(ss, axis_name)
-        return h, w, jnp.sqrt(ss).astype(V.dtype)
+        return h, w, jnp.sqrt(ss).astype(w.dtype)
     return h, w, nrm2(w, axis_name)

@@ -67,7 +67,7 @@ def _gram(V, w, interpret=False):
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
             interpret=interpret,
         )(V, w[None, :])
-    return out[0, :m1].astype(V.dtype)
+    return out[0, :m1].astype(w.dtype)
 
 
 def _update_kernel(V_ref, w_ref, u_ref, out_ref):
@@ -92,7 +92,7 @@ def _update(V, w, u, interpret=False):
                 pl.BlockSpec((1, m1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, n), V.dtype),
+            out_shape=jax.ShapeDtypeStruct((1, n), w.dtype),
             interpret=interpret,
         )(V, w[None, :], u[None, :])
     return out[0]
@@ -138,12 +138,12 @@ def _update_gram(V, w, u, interpret=False):
                 pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((1, n), V.dtype),
+                jax.ShapeDtypeStruct((1, n), w.dtype),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ),
             interpret=interpret,
         )(V, w[None, :], u[None, :])
-    return w_out[0], u2[0, :m1].astype(V.dtype)
+    return w_out[0], u2[0, :m1].astype(w.dtype)
 
 
 def _update_sumsq_kernel(V_ref, w_ref, u_ref, w_out_ref, ss_ref):
@@ -183,7 +183,7 @@ def _update_sumsq(V, w, u, interpret=False):
                 pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((1, n), V.dtype),
+                jax.ShapeDtypeStruct((1, n), w.dtype),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ),
             interpret=interpret,
@@ -211,7 +211,7 @@ def cgsr2_pallas(V, w, axis_name=None, interpret: bool = False):
     w2, ss = _update_sumsq(V, w1, u2, interpret=interpret)
     if axis_name is not None:
         ss = _jax.lax.psum(ss, axis_name)
-    h_next = jnp.sqrt(ss).astype(V.dtype)
+    h_next = jnp.sqrt(ss).astype(w.dtype)
     return u1 + u2, w2, h_next
 
 
@@ -326,19 +326,19 @@ def _mgs(V, w, interpret=False, R=None):
                 pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((rows, 128), V.dtype),
+                jax.ShapeDtypeStruct((rows, 128), w.dtype),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2 * R, rows, 128), V.dtype),
-                pltpu.VMEM((rows, 128), V.dtype),
+                pltpu.VMEM((rows, 128), w.dtype),
                 pltpu.SemaphoreType.DMA((2 * R, _STRIPES)),
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=interpret,
         )(V3, w.reshape(rows, 128))
-    return (h[0, :m1].astype(V.dtype), w_out.reshape(n),
-            jnp.sqrt(h[1, 0]).astype(V.dtype))
+    return (h[0, :m1].astype(w.dtype), w_out.reshape(n),
+            jnp.sqrt(h[1, 0]).astype(w.dtype))
 
 
 def mgs_profitable(V, use_pallas: bool = True) -> bool:

@@ -170,9 +170,13 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         or _FORCE_POLICY_UNROLL
     )
 
-    V0 = jnp.zeros((m + 1, n_local), dtype=in_dt)
+    # Compressed-basis tier (CB-GMRES, config.py:PrecisionSpec.basis): V is
+    # STORED narrower than the arithmetic; w, H, Givens and every reduction
+    # stay in the inner dtype — rounding happens only at the V row store.
+    basis_dt = cfg.precision.basis_dtype
+    V0 = jnp.zeros((m + 1, n_local), dtype=basis_dt)
     v0 = jnp.where(beta != 0, w0 / beta, jnp.zeros_like(w0))
-    V0 = V0.at[0].set(v0)
+    V0 = V0.at[0].set(v0.astype(basis_dt))
     H0 = jnp.zeros((m + 1, m), dtype=in_dt)
     # Accumulated rotation product Q = G_{k-1}...G_0 (see
     # ops/givens.py:accumulate_rotation); the Givens RHS is s = beta*Q[:,0].
@@ -207,7 +211,7 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         k = c["k"]
 
         v_k = jax.lax.dynamic_index_in_dim(V, k, axis=0, keepdims=False)
-        w = spmv(A_in, v_k, axis, use_pallas=cfg.use_pallas)
+        w = spmv(A_in, v_k.astype(in_dt), axis, use_pallas=cfg.use_pallas)
         w = typesafe_apply(M, w, axis, cfg.use_pallas)
 
         if lowsync:
@@ -225,7 +229,8 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         # no happy-breakdown guard); we guard the h==0 case to a zero vector
         # (mirrors first_vector's beta==0 branch) instead of poisoning with NaN.
         v_next = jnp.where(h_next != 0, w / h_next, jnp.zeros_like(w))
-        V = jax.lax.dynamic_update_index_in_dim(V, v_next, k + 1, axis=0)
+        V = jax.lax.dynamic_update_index_in_dim(
+            V, v_next.astype(basis_dt), k + 1, axis=0)
         h_col = h_col.at[k + 1].set(h_next)
 
         def gram_vnext():
@@ -238,7 +243,7 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
             # weak item 3).
             from gmres_tpu.ops.pallas.orth_kernel import _gram, profitable
 
-            if profitable(V, cfg.use_pallas):
+            if profitable(V, cfg.use_pallas) and v_next.dtype != jnp.float64:
                 u = _gram(V, v_next)
                 if axis is not None:
                     u = jax.lax.psum(u, axis)

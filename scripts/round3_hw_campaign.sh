@@ -67,6 +67,11 @@ step bench_ilujacobi 2400 python bench.py --prec ilu_jacobi --repeats 3
 #     baseline?  (round-3 addition; ops/df64.py)
 step bench_df64 3600 python bench.py --modes baseline,mixed,df64 --repeats 3
 
+# 4c. compressed-basis tier (CB-GMRES, round-3 addition): bf16 Krylov
+#     basis under the f32 inner loop — the basis streams are CGSR's
+#     dominant HBM traffic, so this should cut ms/iter if orth-bound
+step bench_cb 2400 python bench.py --modes baseline,mixed,mixed-cb --repeats 3
+
 # 5. kernel microbenchmarks: banded + mesh classes (VERDICT item 2 numbers)
 step kernels_convdiff 1800 python -m gmres_tpu.cli.bench_kernels \
   --synth convdiff:1024 --json
