@@ -56,6 +56,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--dist", action="store_true", help="row-partition over all devices")
     p.add_argument("--inner-dtype", choices=["float32", "bfloat16"], default=None,
                    help="override the mixed mode's inner dtype")
+    p.add_argument("--basis-dtype", choices=["float32", "bfloat16"], default=None,
+                   help="compressed Krylov-basis storage (CB-GMRES, "
+                        "arXiv:2009.12101): V stored narrower than the "
+                        "arithmetic; w/H/Givens keep the inner dtype")
     p.add_argument("--json", action="store_true", help="emit a JSON result line too")
     # synthetic matrices for environments without .mtx files
     p.add_argument("--synth", default=None,
@@ -126,6 +130,10 @@ def main(argv=None) -> int:
         precision = dataclasses.replace(
             precision, inner=args.inner_dtype, precond=args.inner_dtype
         )
+    if args.basis_dtype:
+        import dataclasses
+
+        precision = dataclasses.replace(precision, basis=args.basis_dtype)
 
     cfg = GmresConfig.from_flags(
         mode=args.mode,

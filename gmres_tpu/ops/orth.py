@@ -86,13 +86,14 @@ def mgs(V, k, w, axis_name=None, assume_zero_tail=False, use_pallas=True):
 
     On the single-device fast path (zero tail beyond k, V small enough for
     w to stay VMEM-resident) the whole recurrence runs as ONE Pallas sweep
-    over V — the traffic of a single CGS Gram pass.  Distributed MGS keeps
-    the rolled form: each h_j needs its own psum before the update (the
-    k+1-allreduce cost that makes CGS/CGSR the at-scale defaults)."""
+    over V — the traffic of a single CGS Gram pass.  Distributed MGS rides
+    the one-reduce ICWY path by default (``mgs_lowsync_step``); with
+    ``cfg.low_sync_mgs=False`` this rolled form applies, where each h_j
+    needs its own psum before the update (k+1 allreduces per step)."""
     if assume_zero_tail and axis_name is None and w.dtype != jnp.float64:
         from gmres_tpu.ops.pallas.orth_kernel import _mgs, mgs_profitable
 
-        if mgs_profitable(V, use_pallas):
+        if mgs_profitable(V, use_pallas, w.dtype.itemsize):
             h, w2, _ = _mgs(V, w)
             return h, w2
     m1 = V.shape[0]
@@ -139,7 +140,7 @@ def mgs_lowsync_step(V, k, w, L, axis_name):
     ``w`` the vector to project, ``L`` the running (m+1, m+1) strict
     lower-triangular coupling matrix in the accumulation dtype, ``k`` the
     current step.  Returns ``(h, w', ss_local, L')``: projection
-    coefficients (V.dtype, zero beyond k), the projected vector, the
+    coefficients (w.dtype, zero beyond k), the projected vector, the
     LOCAL sum of squares of w' (callers psum it for the norm — the only
     other reduction of the step), and L with row k filled in.
     """
@@ -209,7 +210,7 @@ def orthonormalize_step(kind: str, V, k, w, axis_name=None,
         )
 
         if (kind == "mgs" and axis_name is None
-                and mgs_profitable(V, use_pallas)):
+                and mgs_profitable(V, use_pallas, w.dtype.itemsize)):
             return _mgs(V, w)  # (h, w', ||w'||) — norm folded in-kernel
         if profitable(V, use_pallas):
             if kind == "cgsr" and orth_steps == 2:

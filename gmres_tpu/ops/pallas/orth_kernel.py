@@ -341,10 +341,11 @@ def _mgs(V, w, interpret=False, R=None):
             jnp.sqrt(h[1, 0]).astype(w.dtype))
 
 
-def mgs_profitable(V, use_pallas: bool = True) -> bool:
-    """The MGS kernel keeps w plus 2*_MGS_R V-row buffers in VMEM:
-    (1 + 2R) * n * itemsize — 20 MB at n=1M fp32 with R=2, well inside
-    v5e's 128 MB.  Above the gate, the rolled dot/axpy path applies."""
+def mgs_profitable(V, use_pallas: bool = True, w_itemsize: int = 4) -> bool:
+    """The MGS kernel keeps w (in the work dtype) plus 2*_MGS_R V-row
+    buffers (in the basis storage dtype) in VMEM:
+    (w_itemsize + 2R * V_itemsize) * n — 20 MB at n=1M fp32 with R=2,
+    well inside v5e's 128 MB.  Above the gate, the rolled path applies."""
     import os
 
     if not use_pallas or os.environ.get("GMRES_TPU_NO_PALLAS"):
@@ -355,7 +356,7 @@ def mgs_profitable(V, use_pallas: bool = True) -> bool:
         V.dtype in (jnp.float32, jnp.bfloat16)
         and m1 <= 128
         and 128 * 1024 <= n
-        and (1 + 2 * _MGS_R) * n * itemsize <= 40 * 1024 * 1024
+        and (w_itemsize + 2 * _MGS_R * itemsize) * n <= 40 * 1024 * 1024
         and (n // 128) % _STRIPES == 0
         and jax.default_backend() == "tpu"
     )
