@@ -206,7 +206,7 @@ def df_mgs_lowsync_step(Vh, Vl, k, wh, wl, L, axis_name):
     L = jax.lax.dynamic_update_slice(
         L, ell[None, :], (jnp.asarray(k, jnp.int32), jnp.int32(0)))
     h = jax.scipy.linalg.solve_triangular(
-        L + jnp.eye(m1, dtype=L.dtype), u, lower=True, unit_diagonal=True
+        L, u, lower=True, unit_diagonal=True  # diagonal never read
     )
     wh, wl = df_update(wh, wl, Vh, Vl, h)   # exact: w' = w - sum h_j v_j
     sh, sl = df_sum(*df_mul(wh, wl, wh, wl), axis=-1)

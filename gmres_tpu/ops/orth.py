@@ -157,9 +157,10 @@ def mgs_lowsync_step(V, k, w, L, axis_name):
     L = jax.lax.dynamic_update_slice(
         L, ell[None, :], (jnp.asarray(k, jnp.int32), jnp.int32(0)))
     # rows > k of L are still zero and u is zero there, so solving the full
-    # static-shape unit-lower-triangular system leaves h[j>k] = 0
+    # static-shape unit-lower-triangular system leaves h[j>k] = 0;
+    # unit_diagonal means the solver never reads L's (zero) diagonal
     h = jax.scipy.linalg.solve_triangular(
-        L + jnp.eye(m1, dtype=at), u, lower=True, unit_diagonal=True
+        L, u, lower=True, unit_diagonal=True
     )
     wf = ops[0] - jnp.einsum("j,jn->n", h, Vf, precision=_HI)
     ss_local = jnp.sum(wf * wf)

@@ -266,7 +266,7 @@ def _segment_level_counts(rp, ci, diag, seg, n_pad2):
     return tuple(steps_l), tuple(steps_u)
 
 
-def build_ilu_exact(A: CSRMatrix, dtype):
+def build_ilu_exact(A: CSRMatrix, dtype, allow_fused: bool = True):
     """Exact ILU(0) triangular solves, expressed as level-count Jacobi
     sweeps (the strict triangles are nilpotent of exactly that index, so
     the sweep recursion terminates at the exact substitution result).
@@ -277,6 +277,11 @@ def build_ilu_exact(A: CSRMatrix, dtype):
     steps=levels) when the total work is tolerable, and are refused with
     guidance otherwise — an honest gate instead of the round-1 scaling
     landmine (a 1M-row grid needs ~2000 full sweeps per apply there).
+
+    ``allow_fused=False`` skips the Pallas-applied ``ExactILUDIAPrec``
+    forms and always returns the XLA-sweep ``ILUJacobiPrec`` — the same
+    exact solve (identical factors and level counts), needed where the
+    apply must be vmappable (``solve_batched``).
     """
     rp = np.asarray(A.row_ptr)
     nnz = int(rp[-1])
@@ -292,7 +297,8 @@ def build_ilu_exact(A: CSRMatrix, dtype):
     # keep the XLA sweep path below
     from gmres_tpu.ops.dia import from_csr
 
-    lo_dia = from_csr(lower) if np.dtype(dtype) == np.float32 else None
+    lo_dia = (from_csr(lower)
+              if np.dtype(dtype) == np.float32 and allow_fused else None)
     up_dia = from_csr(upper) if lo_dia is not None else None
     if lo_dia is not None and up_dia is not None:
         n = A.n_rows

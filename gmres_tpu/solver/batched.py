@@ -66,8 +66,8 @@ def _batched_chunk(cfg: GmresConfig, chunk: int, A_out, A_in, M, B, X,
         X_new, infos = vcycle(B, c["x"], b_norms, minvb_norms, c["pstate"])
         active = ~c["stop"]
         finite = jnp.isfinite(infos.rel_initial) & jnp.isfinite(infos.beta)
-        conv = infos.converged0
         div = ~finite
+        conv = infos.converged0 & finite  # divergence wins (drive_restarts)
         x = jnp.where(active[:, None], X_new, c["x"])
         pstate = jax.tree.map(
             lambda new, old: jnp.where(
@@ -83,7 +83,6 @@ def _batched_chunk(cfg: GmresConfig, chunk: int, A_out, A_in, M, B, X,
             converged=jnp.where(active, conv, c["converged"]),
             diverged=jnp.where(active, div, c["diverged"]),
             ran=c["ran"].at[j].set(active),
-            rel_initial=c["rel_initial"].at[j].set(infos.rel_initial),
             prec_rel0=c["prec_rel0"].at[j].set(infos.prec_rel0),
             k_final=c["k_final"].at[j].set(infos.k_final),
         )
@@ -96,14 +95,12 @@ def _batched_chunk(cfg: GmresConfig, chunk: int, A_out, A_in, M, B, X,
         converged=jnp.zeros((s,), bool),
         diverged=jnp.zeros((s,), bool),
         ran=jnp.zeros((chunk, s), bool),
-        rel_initial=jnp.zeros((chunk, s), _f64),
         prec_rel0=jnp.zeros((chunk, s), _f64),
         k_final=jnp.zeros((chunk, s), jnp.int32),
     )
     fin = jax.lax.while_loop(cond, body, carry0)
     return (fin["x"], fin["pstate"], fin["stop"], fin["j"], fin["converged"],
-            fin["diverged"], fin["ran"], fin["rel_initial"],
-            fin["prec_rel0"], fin["k_final"])
+            fin["diverged"], fin["ran"], fin["prec_rel0"], fin["k_final"])
 
 
 _batched_chunk_jit = jax.jit(_batched_chunk, static_argnums=(0, 1))
@@ -141,7 +138,18 @@ def solve_batched(A, B, cfg: GmresConfig | None = None, M=None
 
     t0 = time.perf_counter()
     if M is None:
-        M = build_preconditioner(A, cfg)
+        from gmres_tpu.config import Precond
+
+        if cfg.precond == Precond.ILU:
+            # the fused Pallas trisolve (ExactILUDIAPrec) cannot batch;
+            # the XLA-sweep form is the SAME exact solve (identical
+            # factors and dependency-level counts) and vmaps cleanly
+            from gmres_tpu.precond.build import build_ilu_exact
+
+            M = build_ilu_exact(A, cfg.precision.precond_dtype,
+                                allow_fused=False)
+        else:
+            M = build_preconditioner(A, cfg)
     if cfg.auto_format:
         from gmres_tpu.precond.build import optimize_precond_format
 
@@ -154,7 +162,7 @@ def solve_batched(A, B, cfg: GmresConfig | None = None, M=None
     X = jnp.zeros_like(B)
     b_norms = jax.vmap(nrm2)(B).astype(_f64)
     minvb_norms = jax.vmap(
-        lambda b: nrm2(typesafe_apply(M, b.astype(in_dt)))
+        lambda b: nrm2(typesafe_apply(M, b.astype(in_dt), None, False))
     )(B).astype(_f64)
     a_norm = nrm2(A_in.vals).astype(_f64)
 
@@ -172,7 +180,7 @@ def solve_batched(A, B, cfg: GmresConfig | None = None, M=None
     i = 0
     while i < cfg.max_restarts:
         chunk = min(cfg.host_sync_every, cfg.max_restarts - i)
-        (X, pstates, stop, n_run, conv, div, ran, rels, precs, ks) = \
+        (X, pstates, stop, n_run, conv, div, ran, precs, ks) = \
             _batched_chunk_jit(cfg, chunk, A_out, A_in, M, B, X,
                                b_norms, minvb_norms, a_norm, pstates, stop)
         n_run, conv, div, ran, precs, ks = jax.device_get(

@@ -95,6 +95,20 @@ def test_batched_max_restarts_abort():
         assert r.restarts == 2
 
 
+def test_batched_default_config_exact_ilu():
+    """The DEFAULT GmresConfig (precond='ilu') must work batched: the
+    exact-ILU apply is rebuilt in its XLA-sweep form (identical factors
+    and level counts; the fused Pallas trisolve cannot batch)."""
+    A = convection_diffusion_2d(10)
+    xs, B = _rhs_batch(A, [21, 22])
+    cfg = GmresConfig(precision=PrecisionSpec.from_mode("mixed"),
+                      restart_length=15, tol=1e-8, max_restarts=200)
+    results = solve_batched(A, B, cfg)
+    for x_true, r in zip(xs, results):
+        assert r.converged
+        assert np.linalg.norm(np.asarray(r.x) - x_true) < 1e-4
+
+
 def test_batched_input_validation():
     A = poisson_2d(8)
     _, B = _rhs_batch(A, [1])
