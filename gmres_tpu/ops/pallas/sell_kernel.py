@@ -42,7 +42,15 @@ from gmres_tpu.ops.sell import C, G_BATCH, SLABS_PER_BLOCK, SELLMatrix, _pad_x
 # floor tracks the x-window fetch latency under the default 2-deep
 # BlockSpec pipeline, so the windows are DMA'd by hand with this much
 # lookahead (must cover G_BATCH x the latency/compute ratio).
-_WIN_DEPTH = 8
+# Env-tunable for hardware A/B sweeps (GMRES_TPU_SELL_WIN_DEPTH); the
+# kernel prefetches _WIN_DEPTH - G windows ahead, so the depth must
+# exceed G_BATCH (floored here) and defaults to twice it.
+import os as _os
+
+_WIN_DEPTH = max(
+    int(_os.environ.get("GMRES_TPU_SELL_WIN_DEPTH", str(2 * G_BATCH))),
+    G_BATCH + 1,
+)
 
 
 def _sell_kernel(bucket_ref, slab_ref, packed_ref, x_hbm, y_ref, xwin, wsem,

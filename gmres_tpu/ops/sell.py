@@ -42,6 +42,7 @@ preprocessed for banded solvers.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -91,7 +92,10 @@ MAX_CHUNKS_PER_CALL = 32768
 # scripts/probe_sell_cost.py) dominates per-chunk costs, so batching is
 # the main throughput lever.  Chunk counts are padded to a multiple of G
 # within every output block (a step never crosses blocks).
-G_BATCH = 4
+# Env-tunable (read at import; the PACK layout depends on it, so it must
+# be constant within a process) for hardware A/B sweeps:
+#   GMRES_TPU_SELL_G=8 python scripts/bench_sell.py ...
+G_BATCH = int(os.environ.get("GMRES_TPU_SELL_G", "4"))
 
 
 @partial(
@@ -362,6 +366,9 @@ def sell_from_csr(
     packed_arrays = None
     use_native = (
         not os.environ.get("GMRES_TPU_SELL_NUMPY")
+        # the native packer hardcodes the default G_BATCH=4 chunk padding;
+        # experimental G overrides (GMRES_TPU_SELL_G) take the numpy path
+        and G_BATCH == 4
         and np.dtype(out_dtype) in (np.dtype(np.float64), np.dtype(np.float32))
         and A.n_cols < np.iinfo(np.int32).max
     )

@@ -85,6 +85,15 @@ step kernels_mesh 1800 python -m gmres_tpu.cli.bench_kernels \
 step calibrate_sell 3600 python scripts/calibrate_sell_cost.py \
   "$OUT/sell_cost.json"
 
+# 6b. SELL pipeline-knob A/B (VERDICT item 2: push toward 3 Gnnz/s) —
+#     chunks per grid step (G) and window-DMA lookahead depth
+step sell_g8 1800 env GMRES_TPU_SELL_G=8 \
+  python -m gmres_tpu.cli.bench_kernels --synth mesh3d:1024 --json
+step sell_g8d24 1800 env GMRES_TPU_SELL_G=8 GMRES_TPU_SELL_WIN_DEPTH=24 \
+  python -m gmres_tpu.cli.bench_kernels --synth mesh3d:1024 --json
+step sell_d16 1800 env GMRES_TPU_SELL_WIN_DEPTH=16 \
+  python -m gmres_tpu.cli.bench_kernels --synth mesh3d:1024 --json
+
 # 7. warm-only L6 sweep re-run (VERDICT item 5: per-config warm-up discard,
 #    medians no longer pay jit compile; same configs as results/round2)
 step sweep_identity 3600 python -m gmres_tpu.experiments.sweep \
