@@ -83,6 +83,7 @@ def _batched_chunk(cfg: GmresConfig, chunk: int, A_out, A_in, M, B, X,
             converged=jnp.where(active, conv, c["converged"]),
             diverged=jnp.where(active, div, c["diverged"]),
             ran=c["ran"].at[j].set(active),
+            rel_initial=c["rel_initial"].at[j].set(infos.rel_initial),
             prec_rel0=c["prec_rel0"].at[j].set(infos.prec_rel0),
             k_final=c["k_final"].at[j].set(infos.k_final),
         )
@@ -95,24 +96,28 @@ def _batched_chunk(cfg: GmresConfig, chunk: int, A_out, A_in, M, B, X,
         converged=jnp.zeros((s,), bool),
         diverged=jnp.zeros((s,), bool),
         ran=jnp.zeros((chunk, s), bool),
+        rel_initial=jnp.zeros((chunk, s), _f64),
         prec_rel0=jnp.zeros((chunk, s), _f64),
         k_final=jnp.zeros((chunk, s), jnp.int32),
     )
     fin = jax.lax.while_loop(cond, body, carry0)
     return (fin["x"], fin["pstate"], fin["stop"], fin["j"], fin["converged"],
-            fin["diverged"], fin["ran"], fin["prec_rel0"], fin["k_final"])
+            fin["diverged"], fin["ran"], fin["rel_initial"],
+            fin["prec_rel0"], fin["k_final"])
 
 
 _batched_chunk_jit = jax.jit(_batched_chunk, static_argnums=(0, 1))
 
 
-def solve_batched(A, B, cfg: GmresConfig | None = None, M=None
-                  ) -> list[GmresResult]:
+def solve_batched(A, B, cfg: GmresConfig | None = None, M=None,
+                  record_history: bool = False) -> list[GmresResult]:
     """Solve ``A x_j = b_j`` for every row of ``B`` (shape ``(s, n)`` or a
     sequence of 1-D arrays) in one lockstep batch.  Returns one
     ``GmresResult`` per right-hand side, each equivalent to
     ``solve(A, B[j], cfg.with_(use_pallas=False))`` (identical restart
     structure — the batching is a pure vectorization of the same cycle).
+    ``record_history`` fills each result's per-cycle history like
+    ``solve(record_history=True)``.
 
     Single-RHS-only features are rejected: df64 inner tier, distributed
     meshes (``cfg.axis_name``).  bf16 inner loops run without the stall
@@ -176,36 +181,45 @@ def solve_batched(A, B, cfg: GmresConfig | None = None, M=None
     total_iters = np.zeros((s,), np.int64)
     restarts = np.zeros((s,), np.int64)
     rel_prec = np.full((s,), np.nan)
+    hist = [[] for _ in range(s)] if record_history else None
 
     i = 0
     while i < cfg.max_restarts:
         chunk = min(cfg.host_sync_every, cfg.max_restarts - i)
-        (X, pstates, stop, n_run, conv, div, ran, precs, ks) = \
+        (X, pstates, stop, n_run, conv, div, ran, rels, precs, ks) = \
             _batched_chunk_jit(cfg, chunk, A_out, A_in, M, B, X,
                                b_norms, minvb_norms, a_norm, pstates, stop)
-        n_run, conv, div, ran, precs, ks = jax.device_get(
-            (n_run, conv, div, ran, precs, ks))
+        n_run, conv, div, ran, rels, precs, ks = jax.device_get(
+            (n_run, conv, div, ran, rels, precs, ks))
         n_run = int(n_run)
-        for j in range(n_run):
-            lane_ran = ran[j]
-            total_iters += np.where(lane_ran, ks[j], 0)
-            restarts += lane_ran
-        # a lane that converged/diverged this chunk: its last ran row is
-        # the terminal check and counts neither an iteration nor a restart
-        # (drive_restarts's `last and conv/div` semantics)
+        # per-lane bookkeeping with drive_restarts semantics: a lane's
+        # LAST ran row, when it latched conv/div this chunk, is the
+        # terminal check — it counts neither an iteration nor a restart
+        # (and a diverging row records no history, a converging one
+        # records k=0)
         for lane in range(s):
-            if (conv[lane] or div[lane]) and not (
-                converged[lane] or diverged[lane]
-            ):
-                converged[lane] = bool(conv[lane])
-                diverged[lane] = bool(div[lane])
-                rows = np.nonzero(ran[:n_run, lane])[0]
-                if rows.size:
-                    last = rows[-1]
-                    total_iters[lane] -= int(ks[last, lane])
-                    restarts[lane] -= 1
+            rows = np.nonzero(ran[:n_run, lane])[0]
+            newly = bool(conv[lane] or div[lane]) and not bool(
+                converged[lane] or diverged[lane])
+            for idx, j in enumerate(rows):
+                if newly and idx == rows.size - 1:
+                    converged[lane] = bool(conv[lane])
+                    diverged[lane] = bool(div[lane])
                     if conv[lane]:
-                        rel_prec[lane] = float(precs[last, lane])
+                        rel_prec[lane] = float(precs[j, lane])
+                        if record_history:
+                            hist[lane].append(dict(
+                                i=int(restarts[lane]), k=0,
+                                rel_initial=float(rels[j, lane]),
+                                prec_rel0=float(precs[j, lane])))
+                else:
+                    if record_history:
+                        hist[lane].append(dict(
+                            i=int(restarts[lane]), k=int(ks[j, lane]),
+                            rel_initial=float(rels[j, lane]),
+                            prec_rel0=float(precs[j, lane])))
+                    total_iters[lane] += int(ks[j, lane])
+                    restarts[lane] += 1
         i += n_run
         if bool(np.all(jax.device_get(stop))) or n_run == 0:
             break
@@ -225,5 +239,6 @@ def solve_batched(A, B, cfg: GmresConfig | None = None, M=None
             diverged=bool(diverged[lane]),
             prec_seconds=prec_seconds,
             solve_seconds=solve_seconds,
+            history=hist[lane] if record_history else None,
         ))
     return out

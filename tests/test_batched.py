@@ -27,10 +27,11 @@ def test_batched_matches_single(mode):
         precision=PrecisionSpec.from_mode(mode), orth="cgsr",
         precond="jacobi", restart_length=15, tol=1e-8, max_restarts=200,
     )
-    results = solve_batched(A, B, cfg)
+    results = solve_batched(A, B, cfg, record_history=True)
     assert len(results) == 4
     for lane, (x_true, r) in enumerate(zip(xs, results)):
-        r_s = solve(A, B[lane], cfg.with_(use_pallas=False))
+        r_s = solve(A, B[lane], cfg.with_(use_pallas=False),
+                    record_history=True)
         assert r.converged and r_s.converged
         assert (r.restarts, r.total_iters) == (r_s.restarts, r_s.total_iters)
         np.testing.assert_allclose(np.asarray(r.x), np.asarray(r_s.x),
@@ -38,6 +39,12 @@ def test_batched_matches_single(mode):
         np.testing.assert_allclose(r.rel_prec_res, r_s.rel_prec_res,
                                    rtol=1e-6)
         assert np.linalg.norm(np.asarray(r.x) - x_true) < 1e-4
+        # per-cycle history mirrors the single-RHS driver row for row
+        assert [(h["i"], h["k"]) for h in r.history] == \
+            [(h["i"], h["k"]) for h in r_s.history]
+        np.testing.assert_allclose(
+            [h["rel_initial"] for h in r.history],
+            [h["rel_initial"] for h in r_s.history], rtol=1e-6)
 
 
 def test_batched_uneven_convergence():
