@@ -297,7 +297,12 @@ int64_t sell_pack_plan(int64_t n, int64_t n_cols, int64_t nnz,
         if (sb_cnt[s] >= dense_min_cnt) ++n_dense;
     int64_t cnt_floor = dense_min_cnt;   // keep sb with cnt >= floor ...
     int64_t floor_skip = 0;              // ... skipping this many AT floor
-    if (n_dense > max_dense_blocks) {
+    if (max_dense_blocks <= 0) {
+        // cap of zero (max_dense_bytes below one block): demote every
+        // dense candidate to ELL — matches the numpy packer's empty keep
+        cnt_floor = INT64_MAX;
+        n_dense = 0;
+    } else if (n_dense > max_dense_blocks) {
         int64_t* cands = (int64_t*)malloc(sizeof(int64_t) * (size_t)n_dense);
         if (!cands) { free(sb_cnt); free(sb_max); return -2; }
         int64_t m = 0;
@@ -380,7 +385,7 @@ int64_t sell_pack_plan(int64_t n, int64_t n_cols, int64_t nnz,
 //   dense_hi/dense_lo: (n_dense+1, W, C) f32 (block 0 stays zero)
 //   chunk_slab/chunk_bucket: per final chunk (dummies: first slab, 0)
 //   dense_slab/dense_bucket: per dense pair, sb-ascending (no dummies)
-void sell_pack_fill(int64_t n, int64_t n_cols, int64_t nnz,
+int sell_pack_fill(int64_t n, int64_t n_cols, int64_t nnz,
                     const int32_t* rp,
                     const int32_t* ci,
                     const double* v,
@@ -410,7 +415,7 @@ void sell_pack_fill(int64_t n, int64_t n_cols, int64_t nnz,
         // recompute per-block dummy need
         int64_t* covered = (int64_t*)calloc((size_t)n_blocks, sizeof(int64_t));
         int64_t* ell_layers = (int64_t*)malloc(sizeof(int64_t) * (size_t)(n_sb ? n_sb : 1));
-        if (!covered || !ell_layers) { free(covered); free(ell_layers); return; }
+        if (!covered || !ell_layers) { free(covered); free(ell_layers); return -2; }
         for (int64_t s = 0; s < n_sb; ++s) {
             if (pair_rank[s]) { ell_layers[s] = 0; continue; }
             ell_layers[s] = (sb_max[s] + K - 1) / K;
@@ -506,6 +511,7 @@ void sell_pack_fill(int64_t n, int64_t n_cols, int64_t nnz,
             ++seq;
         }
     }
+    return 0;
 }
 
 }  // extern "C"

@@ -92,7 +92,7 @@ def _get_lib():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
         i32p, i64p, i64p, i32p, i64p, i64p,
     ]
-    lib.sell_pack_fill.restype = None
+    lib.sell_pack_fill.restype = ctypes.c_int
     lib.sell_pack_fill.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
@@ -175,6 +175,10 @@ def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
     out_dtype = np.dtype(out_dtype)
     if out_dtype not in (np.dtype(np.float64), np.dtype(np.float32)):
         raise TypeError(f"native pack supports f64/f32 data, not {out_dtype}")
+    if int(np.asarray(rp)[-1]) >= np.iinfo(np.int32).max:
+        # the int32 ABI would silently wrap row_ptr for >=2^31-nnz input
+        raise TypeError("native pack takes int32 row_ptr; nnz >= 2^31 "
+                        "must use the numpy packer")
     lib = _get_lib()
     rp = np.ascontiguousarray(rp, dtype=np.int32)
     n = rp.shape[0] - 1
@@ -213,7 +217,7 @@ def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
     chunk_bucket = np.zeros(n_chunks, dtype=np.int32)
     dense_slab = np.zeros(n_dense, dtype=np.int64)
     dense_bucket = np.zeros(n_dense, dtype=np.int32)
-    lib.sell_pack_fill(
+    R = lib.sell_pack_fill(
         n, int(n_cols), nnz, rp, ci, v, W, K, n_sb,
         rb_sbrank, sb_pair, chunk_base, pair_rank, sb_max,
         int(out_dtype == np.dtype(np.float32)), int(df64),
@@ -222,6 +226,10 @@ def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
         dense_lo.ctypes.data_as(ctypes.c_void_p),
         chunk_slab, chunk_bucket, dense_slab, dense_bucket,
     )
+    if R < 0:
+        # an early return would otherwise leave all outputs zeroed and
+        # the solver consuming a silently-zero operator
+        raise ImportError("native pack fill allocation failure")
     return (vals_arr, cols_arr, merged,
             merged_lo if df64 else None,
             dense_hi, dense_lo if df64 else None,

@@ -371,6 +371,9 @@ def sell_from_csr(
         and G_BATCH == 4
         and np.dtype(out_dtype) in (np.dtype(np.float64), np.dtype(np.float32))
         and A.n_cols < np.iinfo(np.int32).max
+        # the native ABI takes int32 row_ptr values: a >=2^31-nnz matrix
+        # would silently wrap and corrupt the pack
+        and nnz < np.iinfo(np.int32).max
     )
     if use_native:
         try:
@@ -517,7 +520,9 @@ def _pack_entries_native(A, rp, ci, v, W, K, max_vreg_per_nnz,
         W, K = tuned
 
     dense_min_cnt = max(int(dense_fill_min * W * C), 2 * K)
-    max_dense_blocks = max(1, max_dense_bytes // (W * C * 4))
+    # no max(1, .): a budget below one block means ZERO dense blocks,
+    # exactly like the numpy packer's empty keep list
+    max_dense_blocks = max_dense_bytes // (W * C * 4)
     try:
         arrays = sell_pack_native(rp, sorted_ci, sorted_v, A.n_cols, W, K,
                                   dense_min_cnt, max_dense_blocks, df64,

@@ -602,9 +602,14 @@ def solve_distributed(
     else:
         minvb_norm = nrm2(typesafe_apply(M, b_arr.astype(in_dt))).astype(_f64)
     if is_block:
-        # ||A||_F from per-process partial sums of squares (this process
-        # only holds its own rows' values)
-        av = np.asarray(A_in.vals, dtype=np.float64)
+        # ||A||_F from per-process partial sums of squares over the
+        # DISJOINT owned row range [lo_need, hi_need) — the loaded block
+        # may be wider (fmt='auto' loads the union of the plain and SELL
+        # shard grids, so neighbors' blocks overlap) and summing all
+        # loaded values would count overlap rows once per process,
+        # silently loosening the convergence denominator
+        _, av = A_in.entries(lo_need, hi_need)
+        av = np.asarray(av, dtype=np.float64)
         ss = exchange(np.array([np.dot(av, av)])).sum()
         a_norm = jnp.asarray(np.sqrt(ss), dtype=_f64)
     elif multihost:

@@ -253,6 +253,7 @@ def partition_sell(
     if is_block and owned is None:
         owned = range(n_shards)
 
+    _csr_cache = {}  # owned path: memoized per-shard sorted CSRs (below)
     if owned is None:
         ci = np.asarray(A.col_idx)[:nnz].astype(np.int64)
         v = np.asarray(A.vals)[:nnz]
@@ -285,9 +286,18 @@ def partition_sell(
             ci_raw = np.asarray(A.col_idx)
             v_raw = np.asarray(A.vals)
 
+        # Memoize per shard (_csr_cache): the (W, K) autotune below scans
+        # every shard once per W candidate and the pack loop once more —
+        # without the cache each scan repeats the entry slice + stable
+        # sort (~5x the partition wall on the single-core host).  The pack
+        # loop pops entries as it consumes them, so the peak is one extra
+        # copy of this process's shards (is_block: ~global/P), held only
+        # between autotune and pack.
         def local_csr(s):
             """Shard s's rows as a sorted local CSR (O(global/P) transient;
             per-range sorting replaces the global path's one-shot sort)."""
+            if s in _csr_cache:
+                return _csr_cache[s]
             lo = s * rows_per
             hi = min((s + 1) * rows_per, n)
             if hi <= lo or rp[hi] == rp[lo]:
@@ -310,10 +320,12 @@ def partition_sell(
             rp_l = np.concatenate(
                 [[0], np.cumsum(np.bincount(rows_l, minlength=rows_per))]
             ).astype(np.int64)
-            return SimpleNamespace(
+            loc = SimpleNamespace(
                 row_ptr=rp_l, col_idx=ci_l, vals=v_l,
                 n_rows=rows_per, n_cols=n_pad, _rows=rows_l,
             )
+            _csr_cache[s] = loc
+            return loc
 
         if W is None or K is None:
             from gmres_tpu.ops.sell import _chunk_sb_max
@@ -344,9 +356,16 @@ def partition_sell(
     retain = set(range(n_shards)) if owned is None else set(owned)
     # per-host INPUT: unowned shards cannot be packed (their entries are
     # on other processes) — the padding maxima come from an exchange below
+    # A pack failure (cost-gate refusal, multi-part split) is PROCESS-LOCAL
+    # under per-host input, but the padding-metadata exchange below is a
+    # collective every process must reach — an early return here would
+    # deadlock the others in the allgather.  Record the failure, fall
+    # through to the exchange, and let every process agree to bail.
+    pack_failed = False
     scan = sorted(retain) if is_block else range(n_shards)
     for s in scan:
         local = local_csr(s)
+        _csr_cache.pop(s, None)  # pack is the last consumer of this shard
         if local is None:
             if s in retain:
                 sell = _empty_pack(n_blocks, W, K, np.dtype(dtype))
@@ -357,9 +376,12 @@ def partition_sell(
         else:
             sell = sell_from_csr(local, W=W, K=K, df64=df64, dtype=dtype,
                                  host_arrays=True)
-            if sell is None or len(sell.parts) != 1:
-                return None
-            if sell.dense_parts and len(sell.dense_parts) != 1:
+            bad = (sell is None or len(sell.parts) != 1
+                   or (sell.dense_parts and len(sell.dense_parts) != 1))
+            if bad:
+                if is_block and exchange is not None:
+                    pack_failed = True
+                    break
                 return None
         nc = sell.parts[0][0]
         nd = sell.dense_parts[0][0] if sell.dense_parts else 0
@@ -400,8 +422,11 @@ def partition_sell(
             max((m.n_dense for m in metas), default=0),
             int(any(m.n_dense == 0 for m in metas)),
             max((m.ndb for m in metas), default=1),
+            int(pack_failed),
         ], dtype=np.int64)
         g = np.asarray(exchange(payload))
+        if g[:, 5].any():
+            return None  # some process's shard refused to pack: all bail
         max_nc = int(g[:, 0].max())
         has_dense = bool(g[:, 1].any())
         g_max_nd = int(g[:, 2].max())

@@ -18,6 +18,7 @@ hardcodes beta=1 — a defect we do not replicate.)
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from gmres_tpu.ops.spmv import spmv
 from gmres_tpu.precond.build import (
@@ -66,21 +67,32 @@ def apply_preconditioner(M, w: jax.Array, axis_name: str | None = None,
                 "exact-ILU triangular solves are single-device (the fused "
                 "VMEM kernel); use precond='ilu_jacobi' when distributed"
             )
+        # the factors may be padded wider than the solve vector (the
+        # segmented form rounds its width to a segment boundary, which
+        # need not match solve()'s _ALIGN padding): pad w up to the
+        # factor width — the extra rows are identity (inv_diag 1, zero
+        # bands), so the tail stays zero — and slice the result back
+        n_w = w.shape[0]
+        width = M.inv_diag.shape[0]
+        if n_w < width:
+            w = jnp.pad(w, (0, width - n_w))
         if M.seg:
             from gmres_tpu.ops.pallas.trisolve_kernel import (
                 ilu_trisolve_segmented,
             )
 
-            return ilu_trisolve_segmented(
+            out = ilu_trisolve_segmented(
                 M.lower_bands, M.upper_bands, M.inv_diag, w,
                 M.offs_l, M.offs_u, M.steps_l_segs, M.steps_u_segs, M.seg,
             )
-        from gmres_tpu.ops.pallas.trisolve_kernel import ilu_trisolve_fused
+        else:
+            from gmres_tpu.ops.pallas.trisolve_kernel import ilu_trisolve_fused
 
-        return ilu_trisolve_fused(
-            M.lower_bands, M.upper_bands, M.inv_diag, w,
-            M.offs_l, M.offs_u, M.steps_l, M.steps_u,
-        )
+            out = ilu_trisolve_fused(
+                M.lower_bands, M.upper_bands, M.inv_diag, w,
+                M.offs_l, M.offs_u, M.steps_l, M.steps_u,
+            )
+        return out[:n_w] if n_w < width else out
     raise TypeError(f"unknown preconditioner {type(M)}")
 
 

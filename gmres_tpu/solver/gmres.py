@@ -679,6 +679,10 @@ class GmresResult:
     fellback_to_fp64: bool = False
     stalled: bool = False         # stagnation detected (no progress window)
     escalated: bool = False       # bf16 inner escalated to f32 mid-solve
+    # distributed per-host input: this process's materialized partition
+    # bytes (matrix shards + halos; the pod-scale memory bound the
+    # multihost test asserts).  None on single-device solves.
+    partition_local_bytes: int | None = None
 
 
 # Alignment for the padded problem on TPU: the fused Pallas orth kernels
@@ -743,13 +747,26 @@ def _pad_prec(M, n_pad: int):
     if n >= n_pad:
         return M
     if isinstance(M, ExactILUDIAPrec):
-        pad = n_pad - n
+        width = n_pad
+        extra = ()
+        if M.seg:
+            # the segmented kernel requires width % seg == 0 and one
+            # steps entry per segment: round the pad up to a segment
+            # boundary and give the new identity segments one sweep each
+            # (inv_diag 1, zero bands: a single sweep is the identity)
+            width = -(-n_pad // M.seg) * M.seg
+            extra = (width // M.seg - len(M.steps_l_segs)) * (1,)
+        pad = width - n
+        if pad <= 0:
+            return M
         return _dc.replace(
             M,
             lower_bands=jnp.pad(jnp.asarray(M.lower_bands), ((0, 0), (0, pad))),
             upper_bands=jnp.pad(jnp.asarray(M.upper_bands), ((0, 0), (0, pad))),
             inv_diag=jnp.pad(jnp.asarray(M.inv_diag), (0, pad),
                              constant_values=1.0),
+            steps_l_segs=M.steps_l_segs + extra,
+            steps_u_segs=M.steps_u_segs + extra,
         )
     inv_diag = jnp.pad(jnp.asarray(M.inv_diag), (0, n_pad - n),
                        constant_values=1.0)

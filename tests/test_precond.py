@@ -234,6 +234,46 @@ def test_ilu_exact_segmented_matches_substitution():
     np.testing.assert_allclose(got, got_fused, rtol=1e-6, atol=1e-7)
 
 
+def test_pad_prec_segmented_exact_ilu():
+    """solve()'s _ALIGN padding on a SEGMENTED exact-ILU prec must keep the
+    kernel's invariants: width stays a segment multiple (rounding the pad
+    up), new identity segments get one sweep each, and the apply
+    pads/slices a shorter vector (regression: padding by n_pad - n broke
+    ``n_seg * seg == n`` and left the per-segment step tuples short)."""
+    from gmres_tpu.precond import build as build_mod
+    from gmres_tpu.precond.build import ExactILUDIAPrec
+    from gmres_tpu.solver.gmres import _pad_prec
+
+    A = convection_diffusion_2d(60)  # n=3600
+    old = build_mod._TRISOLVE_VMEM_BYTES
+    build_mod._TRISOLVE_VMEM_BYTES = 60_000
+    try:
+        M = build_ilu_exact(A, jnp.float32)
+    finally:
+        build_mod._TRISOLVE_VMEM_BYTES = old
+    assert isinstance(M, ExactILUDIAPrec) and M.seg > 0
+    width0 = M.inv_diag.shape[0]
+
+    # a pad target that is NOT a multiple of seg (the solve _ALIGN case)
+    n_pad = width0 + M.seg // 2 + 1
+    Mp = _pad_prec(M, n_pad)
+    width = Mp.inv_diag.shape[0]
+    assert width >= n_pad and width % Mp.seg == 0
+    assert len(Mp.steps_l_segs) == width // Mp.seg == len(Mp.steps_u_segs)
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal(A.n_rows).astype(np.float32)
+    want = np.asarray(apply_preconditioner(M, jnp.asarray(w)))
+    # apply at the (shorter-than-width) solve padding: owned rows agree,
+    # padded tail stays exactly zero
+    w_pad = np.zeros(n_pad, np.float32)
+    w_pad[: A.n_rows] = w
+    got = np.asarray(apply_preconditioner(Mp, jnp.asarray(w_pad)))
+    assert got.shape[0] == n_pad
+    np.testing.assert_allclose(got[: A.n_rows], want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got[A.n_rows:], 0, atol=0)
+
+
 def test_ilu_exact_refuses_unfused_large():
     """Non-VMEM-fitting exact ILU with huge level counts raises with
     guidance instead of hanging (the honest gate)."""
