@@ -221,6 +221,25 @@ def main(argv=None) -> int:
                 print(f"cgsr2 pallas {dt_name}: {t*1e6:8.1f} us  "
                       f"{bytes_per/t/1e9:7.1f} GB/s", file=sys.stderr)
 
+                # compressed-basis variant (CB-GMRES, PrecisionSpec.basis):
+                # V stored bf16, w/H f32 — the SAME fused step at half the
+                # basis traffic; the delta vs cgsr2_pallas_f32 is the CB
+                # tier's per-iteration win
+                Vb = jax.device_put(V.astype(jnp.bfloat16))
+
+                def cgsr_cb_step(w):
+                    h, w2, hn = cgsr2_pallas(Vb, w)
+                    return w2 / (hn + 1)
+
+                run = device_loop(cgsr_cb_step, reps)
+                t = time_op(run, (xd,), reps)
+                bytes_per = 3 * args.vcols * n * 2
+                results["cgsr2_pallas_cb_bf16V"] = dict(
+                    seconds=t, gb_per_s=bytes_per / t / 1e9
+                )
+                print(f"cgsr2 pallas cb(bf16 V): {t*1e6:8.1f} us  "
+                      f"{bytes_per/t/1e9:7.1f} GB/s", file=sys.stderr)
+
     if args.json:
         print(json.dumps(results))
     return 0
