@@ -114,8 +114,12 @@ step bench_policy 2400 python scripts/bench_policy.py
 # 9. distributed 1-device-mesh wall vs single device (fast-path retention)
 step bench_dist 2400 python scripts/bench_dist_single.py
 
-# 10. multi-RHS serving throughput (solve_batched: operator bandwidth
-#     amortized across lanes; round-3 addition, solver/batched.py)
+# 10. multi-RHS serving throughput (solve_batched; round-3 addition,
+#     solver/batched.py).  Large problem: only the operator reads are
+#     shared across lanes (the per-lane basis streams are not), so the
+#     headline serving win is the SMALL-problem case where per-iteration
+#     dispatch dominates and lanes amortize it.
 step bench_batched 2400 python scripts/bench_batched.py 1024 8
+step bench_batched_small 2400 python scripts/bench_batched.py 256 16
 
 echo "campaign complete; artifacts in $OUT"
