@@ -130,6 +130,45 @@ def test_parity_unsorted_rows():
     _assert_identical(*_pack_both(A, W=128, K=4, df64=True))
 
 
+def test_parity_zero_dense_cap():
+    """A dense-block budget below one block demotes EVERY dense candidate
+    to ELL in BOTH engines (regression: the native side forced a minimum
+    of one dense block where numpy kept zero)."""
+    rng = np.random.default_rng(4)
+    n = 1024
+    rows = np.repeat(np.arange(n), 8)
+    cols = (rows * 7 + np.tile(np.arange(8) * 13, n)) % 96  # bucket-0 dense
+    vals = rng.standard_normal(rows.shape[0])
+    A = csr_from_coo(rows, cols, vals, n_rows=n, n_cols=1024)
+    Sn, Sp = _pack_both(A, W=128, K=4, dense_fill_min=0.012,
+                        max_dense_bytes=1)  # < one block: cap of zero
+    assert Sp is not None and Sp.n_dense_chunks == 0
+    _assert_identical(Sn, Sp)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_parity_randomized_sweep(seed):
+    """Randomized structural sweep over the packer pair: varying density,
+    column spread, duplicate-heavy rows, tiny K, autotuned (W, K) — both
+    engines must stay bit-identical across the space (the layout contract
+    the distributed SELL partitioner and the kernels rely on)."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(300, 2500))
+    row_nnz = int(rng.integers(2, 20))
+    rows = np.repeat(np.arange(n), row_nnz)
+    spread = int(rng.integers(8, max(9, n)))
+    cols = np.clip(rows + rng.integers(-spread, spread + 1,
+                                       size=rows.shape[0]), 0, n - 1)
+    vals = rng.standard_normal(rows.shape[0])
+    A = csr_from_coo(rows, cols, vals, n_rows=n, n_cols=n)
+    kw = {}
+    if seed % 2:  # half the sweep exercises the autotune path
+        kw = dict(W=int(rng.choice([128, 256])), K=int(rng.choice([2, 4, 8])))
+    if seed % 3 == 0:
+        kw["df64"] = True
+    _assert_identical(*_pack_both(A, **kw))
+
+
 def test_spmv_matches_dense_native_pack():
     # end-to-end: the native-packed operator multiplies correctly
     import jax.numpy as jnp
