@@ -128,6 +128,25 @@ def test_batched_input_validation():
         solve_batched(A, np.zeros((A.n_rows,)), GmresConfig())
 
 
+def test_batched_compressed_basis():
+    """Tier composition: the CB (bf16 basis) tier under the batched
+    (vmapped) cycle — mixed-dtype orth paths must batch too."""
+    import dataclasses
+
+    A = convection_diffusion_2d(10)
+    xs, B = _rhs_batch(A, [31, 32])
+    prec = dataclasses.replace(PrecisionSpec.from_mode("mixed"),
+                               basis="bfloat16")
+    cfg = GmresConfig(precision=prec, orth="cgsr", precond="jacobi",
+                      restart_length=15, tol=1e-8, max_restarts=300)
+    results = solve_batched(A, B, cfg)
+    for lane, (x_true, r) in enumerate(zip(xs, results)):
+        r_s = solve(A, B[lane], cfg.with_(use_pallas=False))
+        assert r.converged and r_s.converged
+        assert (r.restarts, r.total_iters) == (r_s.restarts, r_s.total_iters)
+        assert np.linalg.norm(np.asarray(r.x) - x_true) < 1e-3
+
+
 def test_batched_list_input():
     A = poisson_2d(10)
     xs, B = _rhs_batch(A, [5, 6])
