@@ -28,6 +28,13 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     # mid-campaign and steps without the marker will re-run)
     if [ "$rc" -eq 0 ] && ! grep -L "CAMPAIGN-STEP-OK" results/round3/*.txt 2>/dev/null | grep -q .; then
       echo "$(date -u +%FT%TZ) all steps complete"
+      python scripts/summarize_round3.py > results/round3/SUMMARY.md 2>&1 || true
+      git add results/round3 && git commit -q -m "Round-3 hardware campaign artifacts
+
+Captured automatically by the tunnel watcher; summary in
+results/round3/SUMMARY.md.
+
+No-Verification-Needed: measurement artifacts only" || true
       exit 0
     fi
   else
