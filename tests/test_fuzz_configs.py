@@ -39,6 +39,48 @@ def _operator(rng):
                              seed=int(rng.integers(100)))
 
 
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_distributed_combinations(case):
+    """Distributed variant of the net: tiers x orths x preconds (incl.
+    block-Jacobi ILU) x lowsync-MGS over 2/4/8-device meshes."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gmres_tpu import solve_distributed
+    from gmres_tpu.parallel.dist_gmres import AXIS
+
+    rng = np.random.default_rng(70_000 + case)
+    A = _operator(rng)
+    x_true = rand_vect(A.n_rows, int(rng.integers(1000)))
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    prec = PrecisionSpec.from_mode(("baseline", "mixed", "single",
+                                    "df64")[case % 4])
+    if case % 3 == 0 and not prec.df64_inner:
+        prec = dataclasses.replace(
+            prec, basis="bfloat16" if prec.inner != "float64" else "float32")
+    cfg = GmresConfig(
+        precision=prec,
+        orth=ORTHS[case % 3],
+        precond=("identity", "jacobi", "ilu_jacobi", "bilu_jacobi")[case % 4],
+        jacobi_steps=int(rng.integers(1, 4)),
+        restart_length=int(rng.integers(5, 25)),
+        tol=1e-7,
+        max_restarts=200,
+        low_sync_mgs=bool(rng.integers(2)),
+    )
+    n_dev = int(rng.choice([2, 4, 8]))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (AXIS,))
+    r = solve_distributed(A, b, cfg, mesh=mesh)
+    assert r.converged or r.aborted or r.diverged, cfg
+    if r.converged:
+        x = np.asarray(r.x, np.float64)
+        res = np.linalg.norm(b - A.to_scipy() @ x)
+        bound = cfg.tol * (np.linalg.norm(b)
+                           + np.linalg.norm(np.asarray(A.vals))
+                           * np.linalg.norm(x))
+        assert res <= 50 * bound, (res, bound, cfg)
+
+
 @pytest.mark.parametrize("case", range(24))
 def test_fuzz_config_combinations(case):
     rng = np.random.default_rng(1000 + case)
