@@ -142,6 +142,24 @@ def levels_native(row_ptr, col_idx, diag):
     return int(out_l.value), int(out_u.value)
 
 
+def tri_levels_native(row_ptr, col_idx, diag):
+    """Per-row dependency levels of both triangles (same C pass as
+    ``levels_native``; the count outputs are the array maxima + 1)."""
+    lib = _get_lib()
+    rp = np.ascontiguousarray(row_ptr, dtype=np.int32)
+    n = rp.shape[0] - 1
+    nnz = int(rp[-1])
+    ci = np.ascontiguousarray(col_idx[:nnz], dtype=np.int32)
+    d = np.ascontiguousarray(diag, dtype=np.int64)
+    lev_l = np.zeros(n, dtype=np.int64)
+    lev_u = np.zeros(n, dtype=np.int64)
+    out_l = ctypes.c_int64(0)
+    out_u = ctypes.c_int64(0)
+    lib.tri_level_counts(n, rp, ci, d, lev_l, lev_u,
+                         ctypes.byref(out_l), ctypes.byref(out_u))
+    return lev_l, lev_u
+
+
 def trisolve_native(row_ptr, col_idx, vals, diag, b):
     """Exact sequential L/U substitution on the combined factor (host
     oracle; the reference's ilusv)."""

@@ -27,6 +27,7 @@ from gmres_tpu.precond.build import (
     ILUJacobiPrec,
     JacobiPrec,
 )
+from gmres_tpu.precond.level_ilu import LevelILUPrec, level_ilu_apply
 
 
 def _ilu_jacobi_apply(M: ILUJacobiPrec, w: jax.Array, axis_name: str | None,
@@ -61,6 +62,13 @@ def apply_preconditioner(M, w: jax.Array, axis_name: str | None = None,
         return M.inv_diag * w
     if isinstance(M, ILUJacobiPrec):
         return _ilu_jacobi_apply(M, w, axis_name, use_pallas)
+    if isinstance(M, LevelILUPrec):
+        if axis_name is not None:
+            raise TypeError(
+                "level-scheduled exact-ILU solves are single-device; use "
+                "precond='ilu_jacobi' when distributed"
+            )
+        return level_ilu_apply(M, w)
     if isinstance(M, ExactILUDIAPrec):
         if axis_name is not None:
             raise TypeError(

@@ -232,6 +232,11 @@ class ExactILUDIAPrec:
 # own data too, BASELINE.md).
 _TRISOLVE_VMEM_BYTES = 12 * 1024 * 1024
 
+# Per-apply element-op ceiling for exact solves expressed as sweeps
+# (full-sweep ILUJacobiPrec or level-scheduled chunks); past this the
+# build refuses rather than hand the solver a multi-second preconditioner.
+_SWEEP_WORK_BUDGET = 2_000_000_000
+
 
 def _segment_level_counts(rp, ci, diag, seg, n_pad2):
     """Per-segment INTRA-segment dependency-level counts of the strict
@@ -361,13 +366,29 @@ def build_ilu_exact(A: CSRMatrix, dtype, allow_fused: bool = True):
                 )
 
     steps = max(nlev_l, nlev_u)
-    if steps * max(nnz, 1) > 2_000_000_000:
+    if steps * max(nnz, 1) > _SWEEP_WORK_BUDGET:
+        # Full-sweep exactness is prohibitively slow, but a LEVEL-SCHEDULED
+        # apply (the csrsv2 analog, precond/level_ilu.py) only pays
+        # sum_c sweeps_c * nnz_c — try it before refusing.
+        if allow_fused:
+            from gmres_tpu.precond.level_ilu import (
+                build_level_ilu,
+                triangular_levels,
+            )
+
+            lev_l, lev_u = triangular_levels(
+                rp.astype(np.int64), ci.astype(np.int64), diag
+            )
+            prec, work = build_level_ilu(lower, upper, inv_diag, lev_l, lev_u)
+            if work <= _SWEEP_WORK_BUDGET:
+                return prec
         raise ValueError(
             f"exact-ILU triangular solves need {steps} dependency-level "
-            f"sweeps over {nnz} nonzeros per application and the factors "
-            "do not fit the fused VMEM kernel — this would be "
-            "prohibitively slow on TPU. Use precond='ilu_jacobi' (the "
-            "reference's TPU-friendly variant) or a smaller problem."
+            f"sweeps over {nnz} nonzeros per application; the factors fit "
+            "neither the fused VMEM kernel nor the level-scheduled work "
+            "budget — this would be prohibitively slow on TPU. Use "
+            "precond='ilu_jacobi' (the reference's TPU-friendly variant) "
+            "or a smaller problem."
         )
     return ILUJacobiPrec(lower=lower, upper=upper, inv_diag=inv_diag,
                          steps=steps)

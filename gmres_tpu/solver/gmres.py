@@ -743,6 +743,10 @@ def _pad_prec(M, n_pad: int):
 
     if isinstance(M, IdentityPrec):
         return M
+    from gmres_tpu.precond.level_ilu import LevelILUPrec
+
+    if isinstance(M, LevelILUPrec):
+        return M  # level_ilu_apply pads/slices the vector to its own width
     n = M.inv_diag.shape[0]
     if n >= n_pad:
         return M
