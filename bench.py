@@ -107,7 +107,10 @@ def main():
 
     t0 = time.perf_counter()
     A_staged = stage(A)
-    jax.block_until_ready(A_staged.vals)
+    # wait on the format's device leaves directly — `.vals` on a SELL pack
+    # would materialize the padded slot view just to block (a 4 GB HLO
+    # temp at n=1M; round-3 VERDICT item 1a)
+    jax.block_until_ready(jax.tree.leaves(A_staged))
     log(f"operator staged (DIA={A_staged is not A}) in {time.perf_counter()-t0:.1f}s")
 
     common = dict(

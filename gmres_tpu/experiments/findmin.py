@@ -52,6 +52,7 @@ def main(argv=None) -> int:
         print("Cannot use both timing-script and plotting formats")
         return 1
 
+    emitted = 0
     for mat in args.mats:
         best = collect(
             mat, args.in_dir,
@@ -59,7 +60,10 @@ def main(argv=None) -> int:
             rlen=args.rlen, rtol=args.rtol, rorth=args.rorth,
         )
         if not best["b"]:
+            print(f"findmin: no baseline rows for {mat!r} under the given "
+                  f"filters in {args.in_dir!r}", file=sys.stderr)
             continue
+        emitted += 1
         if args.plotting_format:
             print(
                 f"'{mat}': [{_plot_tuple(best['b'])}, {_plot_tuple(best['mp'])}, "
@@ -77,6 +81,12 @@ def main(argv=None) -> int:
                 f"{mat} {b['ilu_median']} {b['gmres_median']} "
                 f"({b['loc'][0]}, {b['loc'][1]}, {b['loc'][2]})" + mp_part
             )
+    if emitted == 0:
+        # an empty selection is a FAILED measurement, not a success — the
+        # round-3 campaign marked a vacuous findmin step OK (VERDICT weak
+        # item 1); callers must see a nonzero exit
+        print("findmin: no matching history rows at all", file=sys.stderr)
+        return 1
     return 0
 
 

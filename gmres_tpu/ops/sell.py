@@ -98,21 +98,30 @@ MAX_CHUNKS_PER_CALL = 32768
 G_BATCH = int(os.environ.get("GMRES_TPU_SELL_G", "4"))
 
 
+def _bitcast_i32(a):
+    """f32 -> int32 bitcast for numpy (host packs) and jax (traced) arrays."""
+    if isinstance(a, np.ndarray):
+        return np.ascontiguousarray(a).view(np.int32)
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("data", "cols", "packed", "packed_lo", "bucket", "slab",
+    data_fields=("packed", "packed_lo", "bucket", "slab",
                  "dense_data", "dense_lo", "dense_bucket", "dense_slab",
                  "dense_vidx"),
     meta_fields=("n_rows", "n_cols", "nnz", "W", "K", "parts",
-                 "dense_parts", "n_rows_pad", "n_buckets"),
+                 "dense_parts", "n_rows_pad", "n_buckets", "val_dtype",
+                 "frob64", "frob32"),
 )
 @dataclasses.dataclass(frozen=True)
 class SELLMatrix:
     """Sliced-ELL matrix, chunked and pre-split for the Pallas kernel.
 
-    Per part ``p``: ``data[p][c, k, r]``/``cols[p][c, k, r]`` hold the value
-    / *bucket-relative* column of slot ``k`` of row ``slab[p][c]*C + r``
-    (0/0 for padding slots — they select ``x_window[0]`` with weight 0).
+    Per part ``p``: ``data[p][c, k, r]``/``cols[p][c, k, r]`` (derived
+    views of ``packed``, see below) hold the value / *bucket-relative*
+    column of slot ``k`` of row ``slab[p][c]*C + r`` (0/0 for padding
+    slots — they select ``x_window[0]`` with weight 0).
     The (K, C) slot layout keeps the minor dimension at C=128 so the XLA
     tiled layout pads K only to 8 (a (C, K) layout pads K to 128 — a 32x
     memory/bandwidth blowup measured as the round-2 kernel's bottleneck).
@@ -120,10 +129,17 @@ class SELLMatrix:
     rows has at least one chunk (dummies inserted) so the kernel
     zero-initializes it.  ``parts[p] = (n_chunks, first_block, n_blocks)``
     — each part owns a disjoint, contiguous output-block range.
+
+    Only ``packed`` (+``packed_lo``, dense blocks) is device-resident:
+    the slot values/columns are stored ONCE as the merged kernel view and
+    the ``data``/``cols`` views the XLA fallback reads are derived by
+    slicing/bitcasting it (round-3 VERDICT item 1b: the former separate
+    ``data``+``cols``+``packed`` storage tripled slot HBM and OOM'd the
+    n=1M unstructured headline).  fp64 values round-trip exactly through
+    the (hi, lo) double-float split: packs with fp64 values always carry
+    ``packed_lo``, and ``data`` reconstructs hi + lo.
     """
 
-    data: tuple    # tuple of (n_chunks_p, K, C) arrays
-    cols: tuple    # tuple of (n_chunks_p, K, C) int32 arrays, in [0, W)
     # kernel view: vals and bitcast cols merged into one (2K, C) f32 block
     # per chunk — ONE DMA instead of two (the kernel is DMA-transaction
     # bound; probed in scripts/probe_sell_cost.py), and 2K is a multiple
@@ -153,6 +169,13 @@ class SELLMatrix:
     dense_parts: tuple        # same scheme for the dense chunk list
     n_rows_pad: int           # rows padded to ROWS_PER_BLOCK multiple
     n_buckets: int
+    val_dtype: str = "float32"  # logical value dtype (data/cols derive it)
+    # pack-time Frobenius norms of the TRUE nonzeros (fp64-accumulated over
+    # the fp64 / f32-cast values): carried as metadata so the solver never
+    # materializes the padded slot array to take one norm (round-3 VERDICT
+    # item 1a — the `vals` concat was a 4 GB HLO temp at n=1M)
+    frob64: float = 0.0
+    frob32: float = 0.0
 
     @property
     def shape(self):
@@ -160,7 +183,12 @@ class SELLMatrix:
 
     @property
     def dtype(self):
-        return self.data[0].dtype
+        return np.dtype(self.val_dtype)
+
+    @property
+    def frob_norm(self) -> float:
+        """||A||_F of the true nonzeros in the current value dtype."""
+        return self.frob32 if self.dtype == np.float32 else self.frob64
 
     @property
     def n_chunks(self) -> int:
@@ -171,19 +199,42 @@ class SELLMatrix:
         return sum(p[0] for p in self.dense_parts)
 
     @property
+    def data(self) -> tuple:
+        """Per-part (n_chunks_p, K, C) slot values in ``dtype``, derived
+        from the merged kernel view (hi + lo for fp64 packs)."""
+        out = []
+        for p, pk in enumerate(self.packed):
+            hi = pk[:, : self.K, :]
+            if self.dtype == np.float32:
+                out.append(hi)
+            else:
+                v = hi.astype(self.val_dtype)
+                if self.packed_lo:
+                    v = v + self.packed_lo[p].astype(self.val_dtype)
+                out.append(v)
+        return tuple(out)
+
+    @property
+    def cols(self) -> tuple:
+        """Per-part (n_chunks_p, K, C) int32 bucket-relative columns."""
+        return tuple(_bitcast_i32(pk[:, self.K:, :]) for pk in self.packed)
+
+    @property
     def vals(self) -> jax.Array:
-        """Values view (Frobenius-norm compatible: padding slots are 0)."""
+        """Values view over all slots (padding slots are 0).  EXPENSIVE —
+        materializes the padded slot array; prefer ``frob_norm`` for
+        norms.  Kept for format-conversion/debug consumers."""
         flats = [d.reshape(-1) for d in self.data]
-        flats += [d.reshape(-1) for d in self.dense_data]
+        blocks = self.dense_data[0].astype(self.val_dtype)
+        if self.dense_lo and self.dtype != np.float32:
+            blocks = blocks + self.dense_lo[0].astype(self.val_dtype)
+        flats += [blocks.reshape(-1)]
         return flats[0] if len(flats) == 1 else jnp.concatenate(flats)
 
     def astype(self, dtype) -> "SELLMatrix":
-        # ``packed`` stays f32 by construction (the kernel view)
-        return dataclasses.replace(
-            self,
-            data=tuple(d.astype(dtype) for d in self.data),
-            dense_data=tuple(d.astype(dtype) for d in self.dense_data),
-        )
+        # storage is dtype-invariant (merged f32 hi/lo views); only the
+        # logical value dtype changes
+        return dataclasses.replace(self, val_dtype=np.dtype(dtype).name)
 
 
 def _rb_groups(rows, bucket, n_buckets):
@@ -360,6 +411,16 @@ def sell_from_csr(
     ci = np.asarray(A.col_idx)[:nnz]
     v = np.asarray(A.vals)[:nnz]
     out_dtype = v.dtype if dtype is None else dtype
+    # fp64 packs always carry the lo sidecar: it is both the df64 kernels'
+    # operand and the exact complement that lets the derived ``data`` view
+    # reconstruct fp64 values from the f32 hi halves
+    need_lo = df64 or np.dtype(out_dtype) == np.dtype(np.float64)
+    # pack-time Frobenius norms of the true nonzeros (VERDICT r3 item 1a)
+    v64 = v.astype(np.float64, copy=False)
+    frob64 = float(np.sqrt(np.dot(v64, v64)))
+    v32 = v64.astype(np.float32).astype(np.float64)
+    frob32 = float(np.sqrt(np.dot(v32, v32)))
+    del v64, v32
     n_rows_pad = -(-n // ROWS_PER_BLOCK) * ROWS_PER_BLOCK
     n_blocks = n_rows_pad // ROWS_PER_BLOCK
 
@@ -379,7 +440,7 @@ def sell_from_csr(
         try:
             packed_arrays, W, K = _pack_entries_native(
                 A, rp, ci, v, W, K, max_vreg_per_nnz, dense_fill_min,
-                max_dense_bytes, df64, out_dtype,
+                max_dense_bytes, need_lo, out_dtype,
             )
         except ImportError:
             packed_arrays = None
@@ -412,13 +473,15 @@ def sell_from_csr(
             W, K = tuned
         packed_arrays = _pack_entries_numpy(
             rows, ci, v, A.n_cols, W, K, n_blocks, dense_fill_min,
-            max_dense_bytes, df64, out_dtype,
+            max_dense_bytes, need_lo, out_dtype,
         )
 
     n_buckets = max(1, -(-A.n_cols // W))
-    (vals_arr, cols_arr, merged, merged_lo, dense_blocks, dense_lo_blocks,
+    # drop the separate vals/cols arrays the native engine also returns —
+    # only the merged kernel view (+ lo sidecar) is retained/uploaded
+    (merged, merged_lo, dense_blocks, dense_lo_blocks,
      chunk_slab, chunk_bucket, dense_slab_arr, dense_bucket_arr) = \
-        packed_arrays
+        packed_arrays[-8:]
     n_chunks = chunk_slab.shape[0]
     n_dense_real = dense_slab_arr.shape[0]
     dense_vidx_arr = np.arange(1, n_dense_real + 1, dtype=np.int64)
@@ -440,13 +503,10 @@ def sell_from_csr(
         dense_vidx_arr = dense_vidx_arr[order]
 
     splits = _plan_parts(chunk_slab // SLABS_PER_BLOCK, n_blocks)
-    data_p, cols_p, packed_p, plo_p, bucket_p, slab_p, parts = (
-        [], [], [], [], [], [], [])
+    packed_p, plo_p, bucket_p, slab_p, parts = ([], [], [], [], [])
     for (lo, hi, blk_lo, blk_hi) in splits:
-        data_p.append(vals_arr[lo:hi])
-        cols_p.append(cols_arr[lo:hi])
         packed_p.append(conv(merged[lo:hi]))
-        if df64:
+        if need_lo:
             plo_p.append(conv(merged_lo[lo:hi]))
         bucket_p.append(conv(chunk_bucket[lo:hi]))
         slab_p.append(conv(chunk_slab[lo:hi].astype(np.int32)))
@@ -462,14 +522,12 @@ def sell_from_csr(
             dense_parts.append((hi - lo, blk_lo, blk_hi - blk_lo))
 
     return SELLMatrix(
-        data=tuple(conv(d) for d in data_p),
-        cols=tuple(conv(c) for c in cols_p),
         packed=tuple(packed_p),
         packed_lo=tuple(plo_p),
         bucket=tuple(bucket_p),
         slab=tuple(slab_p),
         dense_data=(conv(dense_blocks),),
-        dense_lo=((conv(dense_lo_blocks),) if df64 else ()),
+        dense_lo=((conv(dense_lo_blocks),) if need_lo else ()),
         dense_bucket=tuple(dbucket_p),
         dense_slab=tuple(dslab_p),
         dense_vidx=tuple(dvidx_p),
@@ -482,6 +540,9 @@ def sell_from_csr(
         dense_parts=tuple(dense_parts),
         n_rows_pad=n_rows_pad,
         n_buckets=n_buckets,
+        val_dtype=np.dtype(out_dtype).name,
+        frob64=frob64,
+        frob32=frob32,
     )
 
 
@@ -536,12 +597,14 @@ def _pack_entries_native(A, rp, ci, v, W, K, max_vreg_per_nnz,
 
 
 def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
-                        dense_fill_min, max_dense_bytes, df64, out_dtype):
+                        dense_fill_min, max_dense_bytes, need_lo, out_dtype):
     """Pure-numpy pack of (row, col)-sorted entries.  Returns
-    ``(vals_arr, cols_arr, merged, merged_lo, dense_blocks,
-    dense_lo_blocks, chunk_slab, chunk_bucket, dense_slab_arr,
-    dense_bucket_arr)`` — dense lists WITHOUT coverage dummies (added by
-    the shared assembly tail in ``sell_from_csr``)."""
+    ``(merged, merged_lo, dense_blocks, dense_lo_blocks, chunk_slab,
+    chunk_bucket, dense_slab_arr, dense_bucket_arr)`` — dense lists
+    WITHOUT coverage dummies (added by the shared assembly tail in
+    ``sell_from_csr``).  Only the merged kernel view is built: the
+    separate vals/cols slot arrays were 12 bytes/slot of host+device
+    waste (round-3 VERDICT item 1b)."""
     nnz = rows.shape[0]
     n_buckets = max(1, -(-n_cols // W))
 
@@ -590,7 +653,8 @@ def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
     # np.zeros is lazy (calloc) — np.zeros_like memsets eagerly, which
     # costs seconds per GB on this host class
     dense_lo_blocks = (
-        np.zeros((n_dense_real + 1, W, C), dtype=np.float32) if df64 else None
+        np.zeros((n_dense_real + 1, W, C), dtype=np.float32)
+        if need_lo else None
     )
     if n_dense_real:
         dn = is_dense_nnz
@@ -599,7 +663,7 @@ def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
         v_d = v[dn]
         v_hi = v_d.astype(np.float32)
         np.add.at(dense_blocks.reshape(-1), flat_d, v_hi)
-        if df64:
+        if need_lo:
             v_lo = (v_d - v_hi.astype(np.float64)).astype(np.float32)
             np.add.at(dense_lo_blocks.reshape(-1), flat_d, v_lo)
     # --- ELL side on the remaining entries ---
@@ -649,24 +713,23 @@ def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
         chunk_bucket = chunk_bucket[order]
         n_chunks += n_dummy
 
-    vals_arr = np.zeros((n_chunks, K, C), dtype=out_dtype)
-    cols_arr = np.zeros((n_chunks, K, C), dtype=np.int32)
-    flat = (inv * K + slot) * C + row_local_e
-    vals_arr.reshape(-1)[flat] = v_e
-    cols_arr.reshape(-1)[flat] = col_rel_e
-
-    vals32 = vals_arr.astype(np.float32)
-    merged = np.concatenate([vals32, cols_arr.view(np.float32)], axis=1)
+    # scatter straight into the merged (2K, C) kernel view: value halves
+    # land in sublanes [0, K), bitcast int32 columns in [K, 2K)
+    merged = np.zeros((n_chunks, 2 * K, C), dtype=np.float32)
+    mflat = merged.reshape(-1)
+    flat_v = (inv * (2 * K) + slot) * C + row_local_e
+    v_hi_e = v_e.astype(np.float32)
+    mflat[flat_v] = v_hi_e
+    mflat[flat_v + K * C] = col_rel_e.astype(np.int32).view(np.float32)
     merged_lo = None
-    if df64:
+    if need_lo:
         merged_lo = np.zeros((n_chunks, K, C), dtype=np.float32)
-        v_hi_e = v_e.astype(np.float32)
+        flat = (inv * K + slot) * C + row_local_e
         merged_lo.reshape(-1)[flat] = (
             v_e - v_hi_e.astype(np.float64)
         ).astype(np.float32)
-    return (vals_arr, cols_arr, merged, merged_lo, dense_blocks,
-            dense_lo_blocks, chunk_slab, chunk_bucket, dense_slab_arr,
-            dense_bucket_arr)
+    return (merged, merged_lo, dense_blocks, dense_lo_blocks, chunk_slab,
+            chunk_bucket, dense_slab_arr, dense_bucket_arr)
 
 
 def _pad_x(A: "SELLMatrix", x: jax.Array) -> jax.Array:
@@ -690,7 +753,10 @@ def sell_spmv_xla(A: SELLMatrix, x: jax.Array) -> jax.Array:
         y = y.at[A.slab[p]].add(contrib)
     xp2 = xp.reshape(A.n_buckets, A.W)
     blocks = A.dense_data[0].astype(A.dtype)
-    lo = A.dense_lo[0].astype(A.dtype) if A.dense_lo else None
+    # the lo sidecar only contributes at fp64 compute (for f32 the hi
+    # halves ARE the values, matching the ELL side's derived ``data``)
+    lo = (A.dense_lo[0].astype(A.dtype)
+          if A.dense_lo and A.dtype != np.float32 else None)
     for p in range(len(A.dense_parts)):
         win = xp2[A.dense_bucket[p]]             # (n_dense_p, W)
         blk = blocks[A.dense_vidx[p]]            # (n_dense_p, W, C)
@@ -734,8 +800,14 @@ class DF64Sell:
 
     @property
     def vals(self) -> jax.Array:
-        """Frobenius-compatible fp64 values view (hi + lo exact)."""
+        """fp64 values view (hi + lo exact).  EXPENSIVE — prefer
+        ``frob_norm``."""
         return self.sell.vals
+
+    @property
+    def frob_norm(self) -> float:
+        """||A||_F of the true fp64 nonzeros (pack-time metadata)."""
+        return self.sell.frob64
 
     @property
     def n_rows(self):

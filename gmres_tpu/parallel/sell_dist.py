@@ -46,12 +46,12 @@ from gmres_tpu.sparse import CSRMatrix
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("data", "cols", "packed", "packed_lo", "bucket", "slab",
+    data_fields=("packed", "packed_lo", "bucket", "slab",
                  "dense_data", "dense_lo", "dense_bucket", "dense_slab",
                  "dense_vidx"),
     meta_fields=("n_shards", "rows_per_shard", "n_rows", "n_cols", "nnz",
                  "W", "K", "n_buckets", "n_chunks", "n_dense_chunks",
-                 "n_dense_blocks", "df64"),
+                 "n_dense_blocks", "df64", "val_dtype"),
 )
 @dataclasses.dataclass(frozen=True)
 class PartitionedSELL:
@@ -64,10 +64,10 @@ class PartitionedSELL:
     shared zero block per shard.
     """
 
-    data: jax.Array        # (P, n_chunks, K, C)
-    cols: jax.Array        # (P, n_chunks, K, C) int32
+    # only the merged kernel view is stored; the per-slot value/column
+    # views (``data``/``cols``) derive from it — see ops/sell.SELLMatrix
     packed: jax.Array      # (P, n_chunks, 2K, C) f32
-    packed_lo: jax.Array   # (P, n_chunks, K, C) f32 (zeros when not df64)
+    packed_lo: jax.Array   # (P, n_chunks, K, C) f32 (0-length when no lo)
     bucket: jax.Array      # (P, n_chunks) int32
     slab: jax.Array        # (P, n_chunks) int32, non-decreasing per shard
     dense_data: jax.Array  # (P, n_dense_blocks, W, C); block 0 = zeros
@@ -86,18 +86,35 @@ class PartitionedSELL:
     n_chunks: int          # per shard, multiple of G_BATCH
     n_dense_chunks: int    # per shard (0 = no dense side anywhere)
     n_dense_blocks: int    # per shard, incl. the shared zero block
-    df64: bool
+    df64: bool             # lo sidecars present (df64 outer OR fp64 values)
+    val_dtype: str = "float32"
 
     @property
     def dtype(self):
-        return self.data.dtype
+        return np.dtype(self.val_dtype)
+
+    @property
+    def data(self):
+        """Derived (P, n_chunks, K, C) slot values in ``dtype`` (hi + lo
+        for fp64 packs).  Plain-array stacks only — per-host ShardStack
+        callers read ``packed`` directly."""
+        hi = self.packed[:, :, : self.K, :]
+        if self.dtype == np.float32:
+            return hi
+        v = hi.astype(self.val_dtype)
+        if self.df64:
+            v = v + self.packed_lo.astype(self.val_dtype)
+        return v
+
+    @property
+    def cols(self):
+        from gmres_tpu.ops.sell import _bitcast_i32
+
+        return _bitcast_i32(self.packed[:, :, self.K:, :])
 
     def astype(self, dtype) -> "PartitionedSELL":
-        return dataclasses.replace(
-            self,
-            data=self.data.astype(dtype),
-            dense_data=self.dense_data.astype(dtype),
-        )
+        # storage is dtype-invariant; only the logical value dtype moves
+        return dataclasses.replace(self, val_dtype=np.dtype(dtype).name)
 
     def local_sell(self) -> SELLMatrix:
         """Rebuild the shard-local SELLMatrix inside shard_map (leaves
@@ -105,8 +122,6 @@ class PartitionedSELL:
         n_blocks = self.rows_per_shard // ROWS_PER_BLOCK
         has_dense = self.n_dense_chunks > 0
         return SELLMatrix(
-            data=(self.data[0],),
-            cols=(self.cols[0],),
             packed=(self.packed[0],),
             packed_lo=(self.packed_lo[0],) if self.df64 else (),
             bucket=(self.bucket[0],),
@@ -127,6 +142,7 @@ class PartitionedSELL:
             ),
             n_rows_pad=self.rows_per_shard,
             n_buckets=self.n_buckets,
+            val_dtype=self.val_dtype,
         )
 
 
@@ -170,14 +186,12 @@ def _empty_pack(n_blocks, W, K, dtype):
     block (the kernel zero-initializes a block on first visit)."""
     nc = n_blocks * G_BATCH
     return SimpleNamespace(
-        data=(np.zeros((nc, K, C), dtype=dtype),),
-        cols=(np.zeros((nc, K, C), dtype=np.int32),),
         packed=(np.zeros((nc, 2 * K, C), dtype=np.float32),),
         packed_lo=(np.zeros((nc, K, C), dtype=np.float32),),
         bucket=(np.zeros((nc,), dtype=np.int32),),
         slab=(np.repeat(
             np.arange(n_blocks, dtype=np.int32) * SLABS_PER_BLOCK, G_BATCH),),
-        dense_data=(np.zeros((1, W, C), dtype=dtype),),
+        dense_data=(np.zeros((1, W, C), dtype=np.float32),),
         dense_lo=(np.zeros((1, W, C), dtype=np.float32),),
         dense_bucket=(), dense_slab=(), dense_vidx=(),
         parts=((nc, 0, n_blocks),), dense_parts=(),
@@ -390,14 +404,12 @@ def partition_sell(
         if s in retain:
             # mutable per-shard snapshot (SELLMatrix is frozen)
             packs[s] = SimpleNamespace(
-                data=np.asarray(sell.data[0]),
-                cols=np.asarray(sell.cols[0]),
                 packed=np.asarray(sell.packed[0]),
                 packed_lo=(np.asarray(sell.packed_lo[0]) if sell.packed_lo
                            else np.zeros((0, K, C), np.float32)),
                 bucket=np.asarray(sell.bucket[0]),
                 slab=np.asarray(sell.slab[0]),
-                dense_data=np.asarray(sell.dense_data[0], dtype=dtype),
+                dense_data=np.asarray(sell.dense_data[0], np.float32),
                 dense_lo=(np.asarray(sell.dense_lo[0], np.float32)
                           if sell.dense_lo else None),
                 dense_bucket=(np.asarray(sell.dense_bucket[0])
@@ -502,10 +514,11 @@ def _assemble_partitioned_sell(packs, owned, n_shards, rows_per, n, n_pad,
             pieces[s] = _pad_chunks((a,), n_pad_chunks, last_slab=last)
         return finish(pieces, (n_pad_chunks,) + trailing, tdtype)
 
-    data = stack("data", max_nc, trailing=(K, C), tdtype=dtype)
-    cols = stack("cols", max_nc, trailing=(K, C), tdtype=np.int32)
+    # lo sidecars exist whenever the pack values are fp64 (the derived
+    # ``data`` view reconstructs hi + lo) or the df64 outer was requested
+    has_lo = df64 or np.dtype(dtype) == np.dtype(np.float64)
     packed = stack("packed", max_nc, trailing=(2 * K, C))
-    packed_lo = (stack("packed_lo", max_nc, trailing=(K, C)) if df64
+    packed_lo = (stack("packed_lo", max_nc, trailing=(K, C)) if has_lo
                  else np.zeros((n_shards, 0, K, C), np.float32))
     bucket = stack("bucket", max_nc, tdtype=np.int32)
     slab = stack("slab", max_nc, slab_src="slab", tdtype=np.int32)
@@ -529,9 +542,9 @@ def _assemble_partitioned_sell(packs, owned, n_shards, rows_per, n, n_pad,
 
     dense_data = finish(
         {s: pad_blocks(p.dense_data, max_ndb) for s, p in packs.items()},
-        (max_ndb, W, C), dtype,
+        (max_ndb, W, C), np.float32,
     )
-    if df64:
+    if has_lo:
         dense_lo = finish(
             {
                 s: pad_blocks(
@@ -544,12 +557,10 @@ def _assemble_partitioned_sell(packs, owned, n_shards, rows_per, n, n_pad,
             (max_ndb, W, C), np.float32,
         )
     else:
-        # placeholder leaf, never read when df64 is False
+        # placeholder leaf, never read when no lo sidecar exists
         dense_lo = np.zeros((n_shards, 1, 1, 1), np.float32)
 
     return PartitionedSELL(
-        data=data,
-        cols=cols,
         packed=packed,
         packed_lo=packed_lo,
         bucket=bucket,
@@ -570,5 +581,6 @@ def _assemble_partitioned_sell(packs, owned, n_shards, rows_per, n, n_pad,
         n_chunks=max_nc,
         n_dense_chunks=max_ndc,
         n_dense_blocks=max_ndb,
-        df64=df64,
+        df64=has_lo,
+        val_dtype=np.dtype(dtype).name,
     )

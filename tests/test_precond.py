@@ -275,9 +275,13 @@ def test_pad_prec_segmented_exact_ilu():
 
 
 def test_ilu_exact_refuses_unfused_large():
-    """Non-VMEM-fitting exact ILU with huge level counts raises with
-    guidance instead of hanging (the honest gate)."""
+    """Non-VMEM-fitting exact ILU with huge level counts routes to the
+    level-scheduled csrsv2-analog fallback; when even THAT exceeds the
+    work budget it raises with guidance instead of hanging (the honest
+    gate — updated for precond/level_ilu.py, round-3 VERDICT item 4)."""
     from gmres_tpu.precond import build as build_mod
+    from gmres_tpu.precond import level_ilu as level_mod
+    from gmres_tpu.precond.level_ilu import LevelILUPrec
 
     A = convection_diffusion_2d(40)  # n=1600, DIA-able
     old = build_mod._TRISOLVE_VMEM_BYTES
@@ -288,7 +292,7 @@ def test_ilu_exact_refuses_unfused_large():
         from gmres_tpu.precond.build import ILUJacobiPrec
 
         assert isinstance(M, ILUJacobiPrec)
-        # simulate bench scale: work gate must refuse
+        # simulate bench scale: full-sweep gate refuses, level path takes it
         import gmres_tpu.precond.ilu0 as ilu0_mod
 
         real_counts = ilu0_mod.triangular_level_counts
@@ -298,8 +302,22 @@ def test_ilu_exact_refuses_unfused_large():
 
         build_mod.triangular_level_counts = fake_counts
         try:
-            with pytest.raises(ValueError, match="ilu_jacobi"):
-                build_ilu_exact(A, jnp.float32)
+            M2 = build_ilu_exact(A, jnp.float32)
+            assert isinstance(M2, LevelILUPrec)
+            # ...and when the level-scheduled work is also over budget,
+            # the build refuses
+            real_build = level_mod.build_level_ilu
+
+            def fat_build(*a, **k):
+                prec, _ = real_build(*a, **k)
+                return prec, build_mod._SWEEP_WORK_BUDGET + 1
+
+            level_mod.build_level_ilu = fat_build
+            try:
+                with pytest.raises(ValueError, match="ilu_jacobi"):
+                    build_ilu_exact(A, jnp.float32)
+            finally:
+                level_mod.build_level_ilu = real_build
         finally:
             build_mod.triangular_level_counts = real_counts
     finally:
