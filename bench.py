@@ -158,6 +158,17 @@ def main():
     t_mixed = results["mixed"][1]
     speedup = t_base / t_mixed
     target = 1.3  # BASELINE.json north-star
+    # per-mode facts on stderr as one JSON line each: extra tiers
+    # (mixed-cb, df64, ...) get their speedup AND iteration tax recorded
+    # by the campaign artifacts instead of being collapsed into the
+    # headline ratio (round-3 VERDICT weak item 7)
+    for mode, (res, wall) in results.items():
+        log(json.dumps({
+            "mode": mode, "matrix": args.matrix, "wall_s": round(wall, 4),
+            "speedup_vs_fp64": round(t_base / wall, 4),
+            "restarts": res.restarts, "iters": res.total_iters,
+            "converged": bool(res.converged),
+        }))
     print(json.dumps({
         "metric": "gmres_mixed_vs_fp64_speedup",
         "value": round(speedup, 4),

@@ -353,6 +353,7 @@ def _inner_cycle_df64(cfg: GmresConfig, A_in, M, w0h, w0l, beta, restart_tol,
         else:
             h_col, (wh, wl), h_next = df_orthonormalize_step(
                 cfg.orth.value, Vh, Vl, k, wh, wl, axis, cfg.orth_steps,
+                cfg.use_pallas,
             )
         inv_h = jnp.where(h_next != 0, 1.0 / h_next, jnp.zeros_like(h_next))
         vnh, vnl = df_scale(wh, wl, *split_f64(inv_h))

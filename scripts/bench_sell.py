@@ -108,7 +108,7 @@ def main():
                          "2D FEM, 8 -> ~25 like 3D FEM/cage)")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--skip-xla", action="store_true")
-    ap.add_argument("--dense-min", type=float, default=0.012,
+    ap.add_argument("--dense-min", type=float, default=0.125,
                     help="dense fill threshold (1.0 disables dense chunks)")
     ap.add_argument("--W", type=int, default=None)
     ap.add_argument("--K", type=int, default=None)

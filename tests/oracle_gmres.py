@@ -190,21 +190,26 @@ def _ilu0_dense(A64: np.ndarray) -> np.ndarray:
 
 
 def _orthogonalize(orth, V, k, w, h, dt):
-    """Orthogonalization.hpp kernels, same operation order."""
+    """Orthogonalization.hpp kernels, same operation order.  Basis reads
+    dequantize to the working dtype (``V`` may be stored compressed —
+    CB-GMRES bf16 basis; a same-dtype astype is exact)."""
     if orth == "cgs":
-        hc = V[:, : k + 1].T @ w
-        w -= V[:, : k + 1] @ hc
+        Vk = V[:, : k + 1].astype(dt)
+        hc = Vk.T @ w
+        w -= Vk @ hc
         h[: k + 1, k] = hc
     elif orth == "mgs":
         for j in range(k + 1):
-            hjk = dt(w @ V[:, j])
-            w -= hjk * V[:, j]
+            vj = V[:, j].astype(dt)
+            hjk = dt(w @ vj)
+            w -= hjk * vj
             h[j, k] = hjk
     elif orth == "cgsr":  # two CGS sweeps, weights accumulated (orth_steps=2)
-        hc = V[:, : k + 1].T @ w
-        w -= V[:, : k + 1] @ hc
-        wt = V[:, : k + 1].T @ w
-        w -= V[:, : k + 1] @ wt
+        Vk = V[:, : k + 1].astype(dt)
+        hc = Vk.T @ w
+        w -= Vk @ hc
+        wt = Vk.T @ w
+        w -= Vk @ wt
         h[: k + 1, k] = hc + wt
     else:
         raise ValueError(orth)
@@ -226,32 +231,44 @@ def oracle_solve(A64: np.ndarray, b: np.ndarray, tol: float, rlen: int,
                  max_restarts: int, orth: str = "cgsr",
                  mode: str = "baseline", policy: str = "fixed",
                  rtol: float = 0.0, inv_diag: np.ndarray | None = None,
-                 ilu_jacobi_steps: int = 0,
+                 ilu_jacobi_steps: int = 0, basis_dtype=None,
                  ) -> OracleResult:
     """Dense restarted GMRES following gmres.cpp exactly.
 
-    ``mode``: 'baseline' (all fp64) or 'mixed' (gmres_singleUpdate: fp64
-    outer residual, fp32 cycle).  ``inv_diag``: Jacobi preconditioner;
-    ``ilu_jacobi_steps > 0``: ILU(0)-Jacobi preconditioner with that many
-    sweeps per triangle (portable-kernel semantics, ``kernels.hpp``:
-    L-phase x <- b - Ls x; U-phase x <- x + D^{-1}(b' - U x)); None/0 =
-    identity.  ``policy`` + ``rtol`` select the Convergence subclass.
+    ``mode`` — the four reference precision configurations
+    (``gmres_perf_test.cpp:31-36,228-305``; SURVEY.md §2.2):
+      'baseline'    all fp64 (gmres_baseline<double,double>)
+      'mixed'       gmres_singleUpdate: fp64 outer residual, fp32 cycle
+      'single-prec' gmres_baseline<double,float>: all-fp64 solver, fp32
+                    preconditioner through the typesafe round-trip
+                    (gmres.cpp:12-17)
+      'single'      all fp32 (gmres_baseline<float,float>)
+    ``inv_diag``: Jacobi preconditioner; ``ilu_jacobi_steps > 0``:
+    ILU(0)-Jacobi preconditioner with that many sweeps per triangle
+    (portable-kernel semantics, ``kernels.hpp``: L-phase x <- b - Ls x;
+    U-phase x <- x + D^{-1}(b' - U x)); None/0 = identity.
+    ``basis_dtype``: storage dtype for the Krylov basis (CB-GMRES: pass
+    ml_dtypes.bfloat16 to model the framework's ``PrecisionSpec.basis``
+    compressed-basis tier; reads dequantize to the working dtype).
+    ``policy`` + ``rtol`` select the Convergence subclass.
     """
     n = b.shape[0]
-    hi = np.float64
-    lo = np.float32 if mode == "mixed" else np.float64
+    hi = np.float32 if mode == "single" else np.float64
+    lo = np.float32 if mode in ("mixed", "single") else np.float64
+    prec_dt = (np.float32 if mode in ("mixed", "single", "single-prec")
+               else np.float64)
     A_hi = np.asarray(A64, dtype=hi)
     A_lo = A_hi.astype(lo)
     b = np.asarray(b, dtype=hi)
-    Md_lo = None if inv_diag is None else np.asarray(inv_diag, dtype=lo)
+    Md_p = None if inv_diag is None else np.asarray(inv_diag, dtype=prec_dt)
 
     if ilu_jacobi_steps:
-        F = _ilu0_dense(A_hi).astype(lo)  # fp64 factorize, downcast factors
+        F = _ilu0_dense(A_hi).astype(prec_dt)  # fp64 factorize + downcast
         Ls = np.tril(F, -1)
         U = np.triu(F)
-        invd = (1.0 / np.diag(F)).astype(lo)
+        invd = (1.0 / np.diag(F)).astype(prec_dt)
 
-        def M_apply(w):
+        def M_prec(w):
             bb = w
             x = bb
             for _ in range(ilu_jacobi_steps):
@@ -259,11 +276,15 @@ def oracle_solve(A64: np.ndarray, b: np.ndarray, tol: float, rlen: int,
             b2 = x
             for _ in range(ilu_jacobi_steps):
                 x = x + invd * (b2 - U @ x)
-            return x.astype(w.dtype)
+            return x
     else:
-        def M_apply(w):  # in low precision, like M->apply on the fp32 w
-            return w if Md_lo is None else (
-                w * Md_lo.astype(w.dtype)).astype(w.dtype)
+        def M_prec(w):
+            return w if Md_p is None else w * Md_p
+
+    def M_apply(w):
+        # typesafe_apply (gmres.cpp:12-22): the preconditioner computes in
+        # its own dtype; cross-dtype callers round-trip through copies
+        return M_prec(w.astype(prec_dt)).astype(w.dtype)
 
     conv = {
         "fixed": lambda: _Fixed(tol, rlen, max_restarts),
@@ -272,7 +293,7 @@ def oracle_solve(A64: np.ndarray, b: np.ndarray, tol: float, rlen: int,
         "orthloss": lambda: _OrthLoss(tol, rtol, rlen, max_restarts),
     }[policy]()
 
-    V = np.zeros((n, rlen + 1), dtype=lo)
+    V = np.zeros((n, rlen + 1), dtype=basis_dtype or lo)
     conv.setup(V)
 
     x = np.zeros(n, dtype=hi)
@@ -308,7 +329,7 @@ def oracle_solve(A64: np.ndarray, b: np.ndarray, tol: float, rlen: int,
 
         k = 0
         while True:
-            w = M_apply((A_lo @ V[:, k]).astype(lo))
+            w = M_apply((A_lo @ V[:, k].astype(lo)).astype(lo))
             w = _orthogonalize(orth, V, k, w, h, lo)
             h_final = lo(np.linalg.norm(w))  # nrm2 in working precision
             h[k + 1, k] = h_final
@@ -352,5 +373,5 @@ def _update(x, V, h, s, k, lo, hi):
     y = s[:k].copy()
     for j in range(k - 1, -1, -1):
         y[j] = lo((y[j] - h[j, j + 1 : k] @ y[j + 1 : k]) / h[j, j])
-    inc = (V[:, :k] @ y).astype(lo)
+    inc = (V[:, :k].astype(lo) @ y).astype(lo)
     return x + inc.astype(hi)
