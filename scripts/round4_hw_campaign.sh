@@ -12,7 +12,10 @@
 #   * every step tees through `tail` guards nothing; logs keep full output
 set -u
 cd "$(dirname "$0")/.."
-export PYTHONPATH=.
+# PREPEND the repo root: overwriting PYTHONPATH would drop the host's
+# sitecustomize dir (/root/.axon_site) that registers the TPU tunnel
+# backend — the campaign would then abort with 'axon not a known backend'
+export PYTHONPATH=".${PYTHONPATH:+:$PYTHONPATH}"
 OUT=results/round4
 mkdir -p "$OUT"
 
