@@ -62,6 +62,11 @@ def main():
                     help="convection strength; 2.0 gives a realistic "
                          "~25-restart solve at the default tol")
     ap.add_argument("--rlen", type=int, default=30)
+    ap.add_argument("--low-sync", action="store_true", dest="low_sync",
+                    help="force the one-reduce ICWY MGS reformulation "
+                         "(fused 2-sweep Pallas path) for orth=mgs; "
+                         "default keeps reference-parity sequential MGS "
+                         "on single device")
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--orth", default="cgsr")
     ap.add_argument("--prec", default="identity")
@@ -121,6 +126,8 @@ def main():
         tol=args.tol,
         max_restarts=args.max_restarts,
     )
+    if args.low_sync:
+        common["low_sync_mgs"] = True
 
     modes = tuple(m.strip() for m in args.modes.split(",") if m.strip())
     for need in ("baseline", "mixed"):

@@ -215,13 +215,19 @@ class GmresConfig:
     # bf16 is usable rather than a footgun; the escalation is recorded in
     # GmresResult.escalated.
     bf16_escalation: bool = True
-    # Distributed MGS: replace the k+1 sequential per-step allreduces with
-    # the one-reduce ICWY reformulation (Świrydowicz et al. 2020) — one
+    # MGS reformulation: replace the k+1 sequential per-step reductions
+    # with the one-reduce ICWY scheme (Świrydowicz et al. 2020) — one
     # batched psum + a tiny local triangular correction solve per Arnoldi
-    # step, orthogonality loss O(eps*kappa) like true MGS.  Only consulted
-    # when axis_name is set and orth == MGS; off restores the textbook
-    # sequential recurrence (exact single-device MGS semantics).
-    low_sync_mgs: bool = True
+    # step, orthogonality loss O(eps*kappa) like true MGS.  Tri-state:
+    #   None (default)  AUTO — on for distributed solves (where the k+1
+    #                   sequential allreduces are the latency wall), off
+    #                   single-device (exact reference MGS sequence,
+    #                   Orthogonalization.hpp:91-107 parity)
+    #   True            force on everywhere; single-device this rides the
+    #                   fused 2-sweep Pallas path (2 basis reads/step vs
+    #                   CGSR's 3 — the fast MGS-class option on TPU)
+    #   False           force the textbook sequential recurrence
+    low_sync_mgs: bool | None = None
     # Apply a bandwidth-reducing RCM reordering automatically when the
     # operator's pattern defeats the fast formats (DIA rejects it) — the
     # solve runs on the permuted system and returns the un-permuted

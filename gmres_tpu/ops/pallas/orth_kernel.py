@@ -70,6 +70,49 @@ def _gram(V, w, interpret=False):
     return out[0, :m1].astype(w.dtype)
 
 
+def _gram2_kernel(V_ref, w2_ref, out_ref, *, m1):
+    """Two-RHS gram: u0 = V @ w2[0], u1 = V @ w2[1] with ONE V sweep —
+    the ICWY low-sync MGS step needs V^T w and V^T v_k together
+    (ops/orth.py:mgs_lowsync_step); stacking the RHS halves the basis
+    traffic vs two _gram calls."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    Vf = V_ref[:, :].astype(jnp.float32)
+    w0 = w2_ref[0, :].astype(jnp.float32)
+    w1 = w2_ref[1, :].astype(jnp.float32)
+    p0 = jnp.sum(Vf * w0[None, :], axis=1)
+    p1 = jnp.sum(Vf * w1[None, :], axis=1)
+    if m1 < 128:
+        z = jnp.zeros((128 - m1,), jnp.float32)
+        p0 = jnp.concatenate([p0, z])
+        p1 = jnp.concatenate([p1, z])
+    out_ref[0, :] += p0
+    out_ref[1, :] += p1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gram2(V, w0, w1, interpret=False):
+    """(V @ w0, V @ w1) in one basis sweep; f32 accumulation."""
+    m1, n = V.shape
+    block = min(_BLOCK, n)
+    grid = n // block
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_gram2_kernel, m1=m1),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((m1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            interpret=interpret,
+        )(V, jnp.stack([w0, w1]))
+    return out[0, :m1], out[1, :m1]
+
+
 def _update_kernel(V_ref, w_ref, u_ref, out_ref):
     Vf = V_ref[:, :].astype(jnp.float32)
     uf = u_ref[0, :].astype(jnp.float32)

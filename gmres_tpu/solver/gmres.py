@@ -183,11 +183,14 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
     Q0 = jnp.eye(m + 1, dtype=in_dt)
     S0 = jnp.zeros((m + 1, m + 1), dtype=in_dt) if orthloss else jnp.zeros((1, 1), in_dt)
 
-    # Distributed MGS rides the one-reduce ICWY path (ops/orth.py:
-    # mgs_lowsync_step) unless opted out: carry the strictly-lower
+    # One-reduce ICWY MGS (ops/orth.py:mgs_lowsync_step): AUTO-on for
+    # distributed solves, opt-in single-device (cfg.low_sync_mgs=True —
+    # the fused 2-sweep path beats the sequential recurrence's per-row
+    # DMA serialization at bench scale); carry the strictly-lower
     # triangular basis-coupling matrix L, built one row per step.
-    lowsync = (axis is not None and cfg.orth.value == "mgs"
-               and cfg.low_sync_mgs)
+    lowsync = cfg.orth.value == "mgs" and (
+        cfg.low_sync_mgs is True
+        or (cfg.low_sync_mgs is None and axis is not None))
     acc_dt = _f64 if in_dt == jnp.float64 else jnp.float32
 
     carry0 = dict(
@@ -217,9 +220,10 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
         if lowsync:
             from gmres_tpu.ops.orth import mgs_lowsync_step
 
-            h_col, w, ss_loc, L_new = mgs_lowsync_step(V, k, w, c["L"], axis)
-            h_next = jnp.sqrt(
-                jax.lax.psum(ss_loc, axis)).astype(in_dt)
+            h_col, w, ss_loc, L_new = mgs_lowsync_step(
+                V, k, w, c["L"], axis, cfg.use_pallas)
+            ss = jax.lax.psum(ss_loc, axis) if axis is not None else ss_loc
+            h_next = jnp.sqrt(ss).astype(in_dt)
         else:
             h_col, w, h_next = orthonormalize_step(
                 cfg.orth.value, V, k, w, axis, cfg.orth_steps,
@@ -300,8 +304,9 @@ def _inner_cycle_df64(cfg: GmresConfig, A_in, M, w0h, w0l, beta, restart_tol,
     axis = cfg.axis_name
     m = cfg.m
     orthloss = cfg.policy == RestartPolicy.LOST_ORTHOGONALITY
-    lowsync = (axis is not None and cfg.orth.value == "mgs"
-               and cfg.low_sync_mgs)
+    lowsync = cfg.orth.value == "mgs" and (
+        cfg.low_sync_mgs is True
+        or (cfg.low_sync_mgs is None and axis is not None))
     unroll_all = (
         cfg.policy == RestartPolicy.FIXED
         or jax.default_backend() == "tpu"
@@ -349,7 +354,9 @@ def _inner_cycle_df64(cfg: GmresConfig, A_in, M, w0h, w0l, beta, restart_tol,
 
             h_col, (wh, wl), (ssh, ssl), L_new = df_mgs_lowsync_step(
                 Vh, Vl, k, wh, wl, c["L"], axis)
-            h_next = jnp.sqrt(merge_f64(*_psum_pairs(ssh, ssl, axis)))
+            if axis is not None:
+                ssh, ssl = _psum_pairs(ssh, ssl, axis)
+            h_next = jnp.sqrt(merge_f64(ssh, ssl))
         else:
             h_col, (wh, wl), h_next = df_orthonormalize_step(
                 cfg.orth.value, Vh, Vl, k, wh, wl, axis, cfg.orth_steps,

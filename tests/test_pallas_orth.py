@@ -159,3 +159,88 @@ def test_mgs_rows_per_step_bench_scale():
     assert mgs_rows_per_step(1024 * 1024, 2, 4) == 2
     # far past the budget even at R=1: callers must fall back
     assert mgs_rows_per_step(16 * 1024 * 1024, 4, 4) == 0
+
+
+def test_gram2_matches_pair_of_grams():
+    """The two-RHS gram kernel (one V sweep for the ICWY MGS step's two
+    reductions) equals two single grams."""
+    from gmres_tpu.ops.pallas.orth_kernel import _gram, _gram2
+
+    rng = np.random.default_rng(5)
+    m1, n = 15, 32 * 1024
+    V = np.zeros((m1, n), np.float32)
+    V[:6] = rng.standard_normal((6, n)).astype(np.float32)
+    w0 = rng.standard_normal(n).astype(np.float32)
+    w1 = rng.standard_normal(n).astype(np.float32)
+    u0, u1 = _gram2(jnp.asarray(V), jnp.asarray(w0), jnp.asarray(w1),
+                    interpret=True)
+    r0 = _gram(jnp.asarray(V), jnp.asarray(w0), interpret=True)
+    r1 = _gram(jnp.asarray(V), jnp.asarray(w1), interpret=True)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(r0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(r1), rtol=1e-6)
+
+
+def test_mgs_lowsync_pallas_path_matches_einsum(monkeypatch):
+    """mgs_lowsync_step's fused-kernel route (gram2 + update_sumsq)
+    reproduces the einsum formulation at f32 (single-device opt-in path,
+    round-4: the <=1.28 s MGS target rides this)."""
+    import functools
+
+    from gmres_tpu.ops import orth as orth_mod
+    from gmres_tpu.ops.pallas import orth_kernel as ok
+
+    rng = np.random.default_rng(7)
+    m1, n, k = 12, 32 * 1024, 5
+    V = np.zeros((m1, n), np.float32)
+    V[: k + 1] = np.linalg.qr(
+        rng.standard_normal((n, k + 1))
+    )[0].T.astype(np.float32)
+    w = rng.standard_normal(n).astype(np.float32)
+    L = np.tril(V @ V.T, k=-1).astype(np.float32)
+    L[k:] = 0.0
+
+    # einsum reference (the gate refuses off-TPU, so the plain call takes it)
+    h_e, w_e, ss_e, L_e = orth_mod.mgs_lowsync_step(
+        jnp.asarray(V), k, jnp.asarray(w), jnp.asarray(L), None)
+
+    # force the kernel route in interpret mode
+    monkeypatch.setattr(ok, "profitable", lambda V, up=True: True)
+    monkeypatch.setattr(
+        ok, "_gram2", functools.partial(ok._gram2.__wrapped__, interpret=True))
+    monkeypatch.setattr(
+        ok, "_update_sumsq",
+        functools.partial(ok._update_sumsq.__wrapped__, interpret=True))
+    h_p, w_p, ss_p, L_p = orth_mod.mgs_lowsync_step(
+        jnp.asarray(V), k, jnp.asarray(w), jnp.asarray(L), None)
+
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_e),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_e),
+                               rtol=1e-4,
+                               atol=1e-4 * float(np.abs(w_e).max()))
+    np.testing.assert_allclose(float(ss_p), float(ss_e), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(L_p), np.asarray(L_e),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_single_device_lowsync_solve_matches_sequential():
+    """orth=mgs with low_sync_mgs=True on a single device converges with
+    the same history as the sequential recurrence (ICWY is MGS to first
+    order; counts must agree on a well-conditioned problem)."""
+    from gmres_tpu import GmresConfig, PrecisionSpec, solve
+    from gmres_tpu.io.rng import rand_vect
+    from gmres_tpu.io.synth import convection_diffusion_2d
+    from gmres_tpu.ops.spmv import spmv
+
+    A = convection_diffusion_2d(24, beta=1.0)
+    x_true = rand_vect(A.n_rows, 42)
+    b = np.asarray(spmv(A, jnp.asarray(x_true)))
+    base = GmresConfig(
+        precision=PrecisionSpec.from_mode("mixed"), orth="mgs",
+        precond="identity", restart_length=30, tol=1e-9, max_restarts=60,
+    )
+    r_seq = solve(A, b, base)
+    r_icwy = solve(A, b, base.with_(low_sync_mgs=True))
+    assert r_seq.converged and r_icwy.converged
+    assert abs(r_seq.restarts - r_icwy.restarts) <= 1
+    assert abs(r_seq.total_iters - r_icwy.total_iters) <= 30
