@@ -57,6 +57,10 @@ step bench_mesh3d 3600 python -u bench.py --matrix mesh3d --nx 1024 \
 # 3. MGS headline after the VMEM-gate fix (target <= 1.28 s)
 step bench_mgs 2400 python -u bench.py --orth mgs --repeats 3
 
+# 3b. one-reduce ICWY MGS, single-device opt-in (fused 2-sweep path;
+#     the round-2 <=1.28 s MGS-class target)
+step bench_mgs_lowsync 2400 python -u bench.py --orth mgs --low-sync --repeats 3
+
 # 4. ILU-Jacobi headline
 step bench_ilujacobi 2400 python -u bench.py --prec ilu_jacobi --repeats 3
 
