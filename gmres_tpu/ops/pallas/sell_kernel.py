@@ -52,6 +52,55 @@ _WIN_DEPTH = max(
     G_BATCH + 1,
 )
 
+# x-RESIDENT mode: when the (padded) operand fits this VMEM budget, copy
+# the whole x into VMEM scratch ONCE per call and read chunk windows by
+# dynamic index — the per-chunk window DMA (its latency was the measured
+# per-chunk floor, ~160 ns fixed + lane cost) disappears entirely.  At
+# n=1M f32 the operand is 4 MB.  Disable for A/B with
+# GMRES_TPU_SELL_NO_XRES=1.
+_XRES_MAX_BYTES = 8 * 1024 * 1024
+_NO_XRES = bool(_os.environ.get("GMRES_TPU_SELL_NO_XRES"))
+
+
+def _sell_kernel_xres(bucket_ref, slab_ref, packed_ref, x_hbm, y_ref, xv,
+                      xsem, *, W: int, K: int, G: int):
+    """One grid step = G chunks of one output block; the WHOLE operand
+    lives in VMEM scratch (one bulk DMA at step 0), so a chunk's window
+    is a dynamic-index read with no per-chunk DMA or semaphore."""
+    step = pl.program_id(0)
+    base = step * G
+
+    @pl.when(step == 0)
+    def _():
+        cp = pltpu.make_async_copy(x_hbm, xv, xsem)
+        cp.start()
+        cp.wait()
+
+    blk = slab_ref[base] // SLABS_PER_BLOCK
+    prev_blk = slab_ref[jnp.maximum(base - G, 0)] // SLABS_PER_BLOCK
+    is_first = jnp.logical_or(step == 0, blk != prev_blk)
+
+    @pl.when(is_first)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (W, C), 0)
+    for i in range(G):
+        buf = packed_ref[i]  # (2K, C): [vals_f32 ; bitcast cols]
+        vals = buf[:K]
+        cols = jax.lax.bitcast_convert_type(buf[K:], jnp.int32)
+        xw = xv[bucket_ref[base + i]]  # (1, W)
+        dense = jnp.zeros((W, C), vals.dtype)
+        for k in range(K):
+            dense = dense + jnp.where(
+                iota == cols[k:k + 1, :], vals[k:k + 1, :],
+                jnp.zeros((), vals.dtype),
+            )
+        y_row = jnp.dot(xw, dense, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (1, C)
+        row = slab_ref[base + i] - blk * SLABS_PER_BLOCK
+        y_ref[pl.ds(row, 1), :] += y_row.astype(vals.dtype)
+
 
 def _sell_kernel(bucket_ref, slab_ref, packed_ref, x_hbm, y_ref, xwin, wsem,
                  *, W: int, K: int, G: int, n_chunks: int):
@@ -182,8 +231,21 @@ def _sell_call(bucket, slab, packed, xp, *, W, K, n_chunks, n_slabs,
                first_block, interpret=False):
     G = G_BATCH
     assert n_chunks % G == 0, n_chunks
-    kernel = functools.partial(_sell_kernel, W=W, K=K, G=G,
-                               n_chunks=n_chunks)
+    n_buckets = xp.shape[0]
+    xres = (not _NO_XRES) and n_buckets * W * 4 <= _XRES_MAX_BYTES
+    if xres:
+        kernel = functools.partial(_sell_kernel_xres, W=W, K=K, G=G)
+        scratch = [
+            pltpu.VMEM((n_buckets, 1, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        kernel = functools.partial(_sell_kernel, W=W, K=K, G=G,
+                                   n_chunks=n_chunks)
+        scratch = [
+            pltpu.VMEM((_WIN_DEPTH, 1, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((_WIN_DEPTH,)),
+        ]
 
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -200,10 +262,7 @@ def _sell_call(bucket, slab, packed, xp, *, W, K, n_chunks, n_slabs,
                                    0),
                 memory_space=pltpu.VMEM,
             ),
-            scratch_shapes=[
-                pltpu.VMEM((_WIN_DEPTH, 1, W), jnp.float32),
-                pltpu.SemaphoreType.DMA((_WIN_DEPTH,)),
-            ],
+            scratch_shapes=scratch,
         )
         return pl.pallas_call(
             kernel,

@@ -330,3 +330,24 @@ def test_cost_model_calibration_override(tmp_path, monkeypatch):
     assert cm["fixed_ns"] == 5.0
     assert cm["ns_per_lane"] == sm._COST_DEFAULTS["ns_per_lane"]
     monkeypatch.setattr(sm, "_COST_CACHE", None)  # restore for other tests
+
+
+def test_interpret_xres_and_windowed_agree(monkeypatch):
+    """The x-resident kernel (operand in VMEM scratch, round-4 throughput
+    push) and the windowed-DMA kernel produce identical results."""
+    import gmres_tpu.ops.pallas.sell_kernel as sk
+    from gmres_tpu.io.synth import unstructured_mesh
+
+    A = unstructured_mesh(4096, run=3, seed=9)
+    S = sell_from_csr(A)
+    assert S is not None
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal(A.n_rows), jnp.float32)
+    Sf = S.astype(jnp.float32)
+    monkeypatch.setattr(sk, "_NO_XRES", False)
+    y_x = np.asarray(sk.sell_spmv_pallas(Sf, x, interpret=True))
+    monkeypatch.setattr(sk, "_NO_XRES", True)
+    y_w = np.asarray(sk.sell_spmv_pallas(Sf, x, interpret=True))
+    np.testing.assert_array_equal(y_x, y_w)
+    ref = np.asarray(sell_spmv_xla(Sf, x))
+    np.testing.assert_allclose(y_x, ref, rtol=1e-5, atol=1e-5)
