@@ -115,7 +115,13 @@ def main(argv=None) -> int:
         from gmres_tpu.ops.sell import sell_from_csr
 
         t0 = time.perf_counter()
-        sell = sell_from_csr(A64)
+        # (W, K) overrides for hardware A/B sweeps; default autotunes
+        import os as _os
+
+        _w = _os.environ.get("GMRES_TPU_SELL_W")
+        _k = _os.environ.get("GMRES_TPU_SELL_K")
+        sell = sell_from_csr(A64, W=int(_w) if _w else None,
+                             K=int(_k) if _k else None)
         if sell is not None:
             print(f"SELL pack: W={sell.W} K={sell.K} chunks={sell.n_chunks} "
                   f"dense={sell.n_dense_chunks} "
