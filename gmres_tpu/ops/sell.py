@@ -85,7 +85,13 @@ def _cost_model() -> dict:
 
 # Scalar-prefetch arrays live in SMEM; the chunk list is pre-split into
 # parts no longer than this (2 int32 arrays of this length per call).
-MAX_CHUNKS_PER_CALL = 32768
+# Env-tunable for capacity probing (scripts/probe_sell_smem.py): the
+# per-shard distributed pack REQUIRES a single part, so this cap bounds
+# the largest shard a PartitionedSELL can hold (a 1M-row mesh3d shard
+# has ~37K chunks — the round-4 P=1 retention bench refused at 32768 and
+# silently fell back to the 18x-slower CSR gather path).
+MAX_CHUNKS_PER_CALL = int(
+    os.environ.get("GMRES_TPU_SELL_MAX_CHUNKS", "32768"))
 
 # ELL chunks processed per grid step (one fat slot DMA + G windows + G
 # matvecs per step): the per-step pipeline overhead (~400 ns measured,

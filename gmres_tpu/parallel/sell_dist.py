@@ -393,6 +393,19 @@ def partition_sell(
             bad = (sell is None or len(sell.parts) != 1
                    or (sell.dense_parts and len(sell.dense_parts) != 1))
             if bad:
+                if sell is not None and len(sell.parts) != 1:
+                    # surfacing matters: the round-4 retention bench lost
+                    # 18x to a SILENT refusal here (the per-shard chunk
+                    # list exceeded MAX_CHUNKS_PER_CALL at P=1 and the
+                    # solve fell back to the XLA-gather CSR path)
+                    import warnings
+
+                    warnings.warn(
+                        f"partition_sell: shard {s} needs "
+                        f"{sell.n_chunks} chunks > MAX_CHUNKS_PER_CALL — "
+                        "falling back to the (much slower) CSR partition; "
+                        "raise GMRES_TPU_SELL_MAX_CHUNKS or use more "
+                        "shards", stacklevel=2)
                 if is_block and exchange is not None:
                     pack_failed = True
                     break

@@ -29,4 +29,16 @@ run win_g16     GMRES_TPU_SELL_NO_XRES=1 GMRES_TPU_SELL_G=16 GMRES_TPU_SELL_WIN_
 run xres_g16    GMRES_TPU_SELL_G=16
 run xres_g8_w256 GMRES_TPU_SELL_G=8 GMRES_TPU_SELL_W=256
 run xres_g8_cal GMRES_TPU_SELL_G=8 GMRES_TPU_SELL_CALIBRATION=results/round4/sell_cost.json
+
+# recalibrate with the dispatch-free chain timer (the campaign's first
+# fit folded tunnel dispatch into every sample), then re-pick via model
+if ! grep -q "CAMPAIGN-STEP-OK" "$OUT/calibrate2.txt" 2>/dev/null; then
+  if timeout 3600 python scripts/calibrate_sell_cost.py \
+      "$OUT/sell_cost.json" >"$OUT/calibrate2.txt" 2>&1; then
+    echo "CAMPAIGN-STEP-OK" >>"$OUT/calibrate2.txt"
+  else
+    echo "CAMPAIGN-STEP-FAILED rc=$?" >>"$OUT/calibrate2.txt"
+  fi
+fi
+run xres_cal2 GMRES_TPU_SELL_CALIBRATION=results/round4/sell_cost.json
 echo "A/B grid complete"

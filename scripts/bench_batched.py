@@ -59,11 +59,25 @@ def main():
     print(f"throughput vs sequential-pallas: {t_seq/t_bat:.2f}x; "
           f"vs sequential-XLA: {t_seqx/t_bat:.2f}x; "
           f"per-solve {t_bat/s*1e3:.0f} ms", flush=True)
-    for j, (x_true, r) in enumerate(zip(xs, rb)):
-        # backward-error criterion: absolute error scales with conditioning
-        err = float(np.linalg.norm(np.asarray(r.x) - x_true))
-        rel = err / float(np.linalg.norm(x_true))
-        assert r.converged and rel < 1e-2, (j, r.converged, rel)
+    # Validate each lane by the solver's own BACKWARD-error criterion
+    # ||b - A x|| / (||b|| + ||A||_F ||x||) — forward error scales with
+    # the operator's conditioning (~nx^2 here) and legitimately reaches
+    # O(0.7) relative at nx=1024 even for a correctly converged solve
+    # (the round-4 campaign's first batched run failed on exactly that
+    # mis-assertion).  Cross-check lanes against the sequential solver's
+    # solutions, which share the criterion.
+    a_norm = float(np.linalg.norm(np.asarray(A.vals)[: A.nnz]))
+    for j, r in enumerate(rb):
+        x_j = np.asarray(r.x, dtype=np.float64)
+        res = B[j] - np.asarray(spmv(A, jnp.asarray(x_j)))
+        crit = float(np.linalg.norm(res)) / (
+            float(np.linalg.norm(B[j])) + a_norm * float(np.linalg.norm(x_j))
+        )
+        assert r.converged and crit < cfg.tol * 50, (j, r.converged, crit)
+        # lane-vs-sequential agreement (same criterion, same config)
+        x_seq = np.asarray(rs[j].x, dtype=np.float64)
+        rel = np.linalg.norm(x_j - x_seq) / max(np.linalg.norm(x_seq), 1e-30)
+        assert rel < 5e-2, (j, rel)
 
 
 if __name__ == "__main__":

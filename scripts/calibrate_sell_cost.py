@@ -33,13 +33,14 @@ def time_config(A, W, K, iters=20):
     S = jax.device_put(S.astype(jnp.float32))
     x = jnp.asarray(np.random.default_rng(0).standard_normal(A.n_rows),
                     dtype=jnp.float32)
-    y = sell_spmv(S, x)
-    _ = float(np.asarray(y)[0])  # value fetch: block_until_ready lies (axon)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        y = sell_spmv(S, x + i * 1e-12)  # perturb: defeat constant folding
-    _ = float(np.asarray(y)[0])
-    dt = (time.perf_counter() - t0) / iters
+    # in-device fori_loop chain (y feeds the next SpMV): NO per-iteration
+    # dispatch or host sync — the round-3 python-loop timing folded ~10 us
+    # of tunnel dispatch into every chunk-cost sample and inflated the
+    # fitted constants
+    from gmres_tpu.cli.bench_kernels import device_loop_op, time_op
+
+    run = device_loop_op(lambda S_, v: sell_spmv(S_, v)[: A.n_rows], iters)
+    dt = time_op(run, (S, x), iters)
     n_chunks = sum(p[0] for p in S.parts)
     return dt, n_chunks
 

@@ -109,7 +109,7 @@ step sweep_ilujacobi 3600 python -m gmres_tpu.experiments.sweep \
 step findmin_identity 600 python -m gmres_tpu.experiments.findmin \
   --plotting-format --in-dir "$OUT" 1e-8 cgsr tpu identity convdiff512
 step findmin_ilujacobi 600 python -m gmres_tpu.experiments.findmin \
-  --plotting-format --in-dir "$OUT" 1e-8 cgsr tpu ilu_jacobi convdiff512
+  --plotting-format --in-dir "$OUT" 1e-8 cgsr tpu "ilu_jacobi(3)" convdiff512
 
 # 8. policy per-iteration cost (orthloss after the fused S-recurrence)
 step bench_policy 2400 python scripts/bench_policy.py
