@@ -42,3 +42,7 @@ if ! grep -q "CAMPAIGN-STEP-OK" "$OUT/calibrate2.txt" 2>/dev/null; then
 fi
 run xres_cal2 GMRES_TPU_SELL_CALIBRATION=results/round4/sell_cost.json
 echo "A/B grid complete"
+run xres_g4_w256 GMRES_TPU_SELL_W=256 GMRES_TPU_SELL_K=8
+run xres_g4_w256k16 GMRES_TPU_SELL_W=256 GMRES_TPU_SELL_K=16
+run xres_g2 GMRES_TPU_SELL_G=2
+run xres_g1 GMRES_TPU_SELL_G=1
