@@ -190,9 +190,11 @@ int64_t parse_coord(const char* buf,
 // throttled host core; these two functions replace them with two streaming
 // passes.  Semantics are kept bit-identical to the numpy path (verified by
 // tests/test_sell_native.py): same rb/sb grouping, same dense
-// classification, same chunk layout INCLUDING the G_BATCH dummy padding
-// positions numpy produces via its stable argsort, so the fill pass writes
-// values directly into their final (chunk, slot, row) cells.
+// classification, same chunk layout INCLUDING the G-batch dummy padding
+// positions numpy produces via its stable argsort (G is a caller
+// parameter — the Python side picks it per matrix; <1 means the default),
+// so the fill pass writes values directly into their final
+// (chunk, slot, row) cells.
 //
 // Layout contract (ops/sell.py SELLMatrix):
 //   slab = row / C;  bucket = col / W;  sb = slab * n_buckets + bucket
@@ -206,7 +208,7 @@ int64_t parse_coord(const char* buf,
 
 static const int64_t SELL_C = 128;             // rows per slab
 static const int64_t SELL_SLABS_PER_BLOCK = 8;
-static const int64_t SELL_G_BATCH = 4;
+static const int64_t SELL_G_BATCH = 4;  // default when the G param is < 1
 
 // Phase 1: scan + group + classify.  Outputs are caller-allocated at
 // worst-case nnz size (np.empty: untouched pages never materialize).
@@ -219,7 +221,7 @@ static const int64_t SELL_G_BATCH = 4;
 int64_t sell_pack_plan(int64_t n, int64_t n_cols, int64_t nnz,
                        const int32_t* rp,
                        const int32_t* ci,
-                       int32_t W, int32_t K,
+                       int32_t W, int32_t K, int32_t G,
                        int64_t dense_min_cnt,
                        int64_t max_dense_blocks,
                        int32_t* rb_sbrank,
@@ -228,6 +230,7 @@ int64_t sell_pack_plan(int64_t n, int64_t n_cols, int64_t nnz,
                        int32_t* pair_rank,
                        int64_t* sb_max_out,
                        int64_t* out_counts) {
+    const int64_t Gp = G >= 1 ? (int64_t)G : SELL_G_BATCH;
     const int64_t nb = (n_cols + W - 1) / W > 0 ? (n_cols + W - 1) / W : 1;
     const int64_t n_blocks =
         ((n + SELL_C * SELL_SLABS_PER_BLOCK - 1) /
@@ -349,8 +352,8 @@ int64_t sell_pack_plan(int64_t n, int64_t n_cols, int64_t nnz,
     need_prefix[0] = 0;
     for (int64_t b = 0; b < n_blocks; ++b) {
         const int64_t need = covered[b] == 0
-            ? SELL_G_BATCH
-            : (SELL_G_BATCH - covered[b] % SELL_G_BATCH) % SELL_G_BATCH;
+            ? Gp
+            : (Gp - covered[b] % Gp) % Gp;
         need_prefix[b + 1] = need_prefix[b] + need;
         n_dummy += need;
     }
@@ -389,7 +392,7 @@ int sell_pack_fill(int64_t n, int64_t n_cols, int64_t nnz,
                     const int32_t* rp,
                     const int32_t* ci,
                     const double* v,
-                    int32_t W, int32_t K,
+                    int32_t W, int32_t K, int32_t G,
                     int64_t n_sb,
                     const int32_t* rb_sbrank,
                     const int64_t* sb_pair,
@@ -402,6 +405,7 @@ int sell_pack_fill(int64_t n, int64_t n_cols, int64_t nnz,
                     float* dense_hi, float* dense_lo,
                     int64_t* chunk_slab, int32_t* chunk_bucket,
                     int64_t* dense_slab, int32_t* dense_bucket) {
+    const int64_t Gp = G >= 1 ? (int64_t)G : SELL_G_BATCH;
     const int64_t nb = (n_cols + W - 1) / W > 0 ? (n_cols + W - 1) / W : 1;
     const int64_t n_blocks =
         ((n + SELL_C * SELL_SLABS_PER_BLOCK - 1) /
@@ -453,8 +457,8 @@ int sell_pack_fill(int64_t n, int64_t n_cols, int64_t nnz,
             int64_t dummy_before = 0;
             for (int64_t b = 0; b < n_blocks; ++b) {
                 const int64_t need = covered[b] == 0
-                    ? SELL_G_BATCH
-                    : (SELL_G_BATCH - covered[b] % SELL_G_BATCH) % SELL_G_BATCH;
+                    ? Gp
+                    : (Gp - covered[b] % Gp) % Gp;
                 // raw chunks with slab <= b*8  ==  raw_upto_slab[b*8 + 1]
                 const int64_t pos = raw_upto_slab[b * SELL_SLABS_PER_BLOCK + 1]
                     + dummy_before;

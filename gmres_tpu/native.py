@@ -89,13 +89,14 @@ def _get_lib():
     lib.sell_pack_plan.restype = ctypes.c_int64
     lib.sell_pack_plan.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64,
         i32p, i64p, i64p, i32p, i64p, i64p,
     ]
     lib.sell_pack_fill.restype = ctypes.c_int
     lib.sell_pack_fill.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p, f64p,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
         i32p, i64p, i64p, i32p, i64p,
         ctypes.c_int, ctypes.c_int,
         vp, i32p, f32p, vp, f32p, vp,
@@ -176,7 +177,7 @@ def trisolve_native(row_ptr, col_idx, vals, diag, b):
 
 
 def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
-                     df64: bool, out_dtype):
+                     df64: bool, out_dtype, G: int = 4):
     """Native SELL pack (the hot loops of ``ops/sell.py:sell_from_csr``).
 
     Inputs: int32 CSR (``rp`` length n+1, ``ci``/``v`` length >= nnz with
@@ -212,7 +213,7 @@ def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
     sb_max = np.empty(nnz, dtype=np.int64)
     counts = np.zeros(4, dtype=np.int64)
     R = lib.sell_pack_plan(
-        n, int(n_cols), nnz, rp, ci, W, K,
+        n, int(n_cols), nnz, rp, ci, W, K, int(G),
         int(dense_min_cnt), int(max_dense_blocks),
         rb_sbrank, sb_pair, chunk_base, pair_rank, sb_max, counts,
     )
@@ -236,7 +237,7 @@ def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
     dense_slab = np.zeros(n_dense, dtype=np.int64)
     dense_bucket = np.zeros(n_dense, dtype=np.int32)
     R = lib.sell_pack_fill(
-        n, int(n_cols), nnz, rp, ci, v, W, K, n_sb,
+        n, int(n_cols), nnz, rp, ci, v, W, K, int(G), n_sb,
         rb_sbrank, sb_pair, chunk_base, pair_rank, sb_max,
         int(out_dtype == np.dtype(np.float32)), int(df64),
         vals_arr.ctypes.data_as(ctypes.c_void_p), cols_arr, merged,
@@ -269,8 +270,9 @@ def sell_sbmax_native(rp, ci, n_cols, W):
     pair_rank = np.empty(nnz, dtype=np.int32)
     sb_max = np.empty(nnz, dtype=np.int64)
     counts = np.zeros(4, dtype=np.int64)
+    # K=4, G=4 are placeholders: sb_max is (K, G)-independent
     R = lib.sell_pack_plan(
-        n, int(n_cols), nnz, rp, ci, W, 4, np.iinfo(np.int64).max,
+        n, int(n_cols), nnz, rp, ci, W, 4, 4, np.iinfo(np.int64).max,
         np.iinfo(np.int64).max,
         rb_sbrank, sb_pair, chunk_base, pair_rank, sb_max, counts,
     )

@@ -57,9 +57,10 @@ _WIN_DEPTH = max(
 # dynamic index — the per-chunk window DMA (its latency was the measured
 # per-chunk floor, ~160 ns fixed + lane cost) disappears entirely.  At
 # n=1M f32 the operand is 4 MB.  Disable for A/B with
-# GMRES_TPU_SELL_NO_XRES=1.
-_XRES_MAX_BYTES = 8 * 1024 * 1024
-_NO_XRES = bool(_os.environ.get("GMRES_TPU_SELL_NO_XRES"))
+# GMRES_TPU_SELL_NO_XRES=1.  The gate constants live in ops/sell.py so
+# the pack-time G choice (pick_g) agrees with the kernel dispatch here.
+from gmres_tpu.ops.sell import NO_XRES as _NO_XRES
+from gmres_tpu.ops.sell import XRES_MAX_BYTES as _XRES_MAX_BYTES
 
 
 def _sell_kernel_xres(bucket_ref, slab_ref, packed_ref, x_hbm, y_ref, xv,
@@ -103,30 +104,30 @@ def _sell_kernel_xres(bucket_ref, slab_ref, packed_ref, x_hbm, y_ref, xv,
 
 
 def _sell_kernel(bucket_ref, slab_ref, packed_ref, x_hbm, y_ref, xwin, wsem,
-                 *, W: int, K: int, G: int, n_chunks: int):
+                 *, W: int, K: int, G: int, n_chunks: int, depth: int):
     """One grid step = G chunks of one output block; x windows ride a
-    _WIN_DEPTH-deep manual DMA rotation (deeper than the BlockSpec
+    ``depth``-deep manual DMA rotation (deeper than the BlockSpec
     pipeline's double buffering — the window fetch latency was the
     measured per-chunk floor)."""
     step = pl.program_id(0)
     base = step * G
 
     def win_dma(c):
-        # chunk index c -> its (1, W) window into rotation slot c % DEPTH
+        # chunk index c -> its (1, W) window into rotation slot c % depth
         return pltpu.make_async_copy(
             x_hbm.at[bucket_ref[c]],
-            xwin.at[jax.lax.rem(c, _WIN_DEPTH)],
-            wsem.at[jax.lax.rem(c, _WIN_DEPTH)],
+            xwin.at[jax.lax.rem(c, depth)],
+            wsem.at[jax.lax.rem(c, depth)],
         )
 
     @pl.when(step == 0)
     def _():
-        for c in range(min(_WIN_DEPTH - G, n_chunks)):
+        for c in range(min(depth - G, n_chunks)):
             win_dma(jnp.asarray(c, jnp.int32)).start()
 
     # keep the rotation full: issue the windows this step's lookahead spans
     for i in range(G):
-        nxt = base + (_WIN_DEPTH - G) + i
+        nxt = base + (depth - G) + i
         @pl.when(nxt < n_chunks)
         def _(nxt=nxt):
             win_dma(nxt).start()
@@ -145,7 +146,7 @@ def _sell_kernel(bucket_ref, slab_ref, packed_ref, x_hbm, y_ref, xwin, wsem,
         vals = buf[:K]
         cols = jax.lax.bitcast_convert_type(buf[K:], jnp.int32)
         win_dma(base + i).wait()
-        xw = xwin[jax.lax.rem(base + i, _WIN_DEPTH)]  # (1, W)
+        xw = xwin[jax.lax.rem(base + i, depth)]  # (1, W)
         # Densify the slab with the window along SUBLANES and the 128
         # rows along LANES: dense[w, r] = sum of slot values with column
         # w in row r (cmp + select + add per slot).  The contraction over
@@ -224,12 +225,11 @@ def _dense_call(bucket, slab, vidx, blocks, xp, *, W, n_chunks, n_slabs,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("W", "K", "n_chunks", "n_slabs", "first_block",
+    static_argnames=("W", "K", "G", "n_chunks", "n_slabs", "first_block",
                      "interpret"),
 )
-def _sell_call(bucket, slab, packed, xp, *, W, K, n_chunks, n_slabs,
+def _sell_call(bucket, slab, packed, xp, *, W, K, G=4, n_chunks, n_slabs,
                first_block, interpret=False):
-    G = G_BATCH
     assert n_chunks % G == 0, n_chunks
     n_buckets = xp.shape[0]
     xres = (not _NO_XRES) and n_buckets * W * 4 <= _XRES_MAX_BYTES
@@ -240,11 +240,12 @@ def _sell_call(bucket, slab, packed, xp, *, W, K, n_chunks, n_slabs,
             pltpu.SemaphoreType.DMA(()),
         ]
     else:
+        depth = max(_WIN_DEPTH, G + 1)
         kernel = functools.partial(_sell_kernel, W=W, K=K, G=G,
-                                   n_chunks=n_chunks)
+                                   n_chunks=n_chunks, depth=depth)
         scratch = [
-            pltpu.VMEM((_WIN_DEPTH, 1, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((_WIN_DEPTH,)),
+            pltpu.VMEM((depth, 1, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
         ]
 
     with jax.enable_x64(False):
@@ -296,7 +297,7 @@ def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,
     for p, (n_chunks, first_block, n_blocks) in enumerate(A.parts):
         outs.append(_sell_call(
             A.bucket[p], A.slab[p], A.packed[p], xp,
-            W=A.W, K=A.K, n_chunks=n_chunks,
+            W=A.W, K=A.K, G=A.G, n_chunks=n_chunks,
             n_slabs=n_blocks * SLABS_PER_BLOCK,
             first_block=first_block, interpret=interpret,
         ))

@@ -61,9 +61,17 @@ ROWS_PER_BLOCK = C * SLABS_PER_BLOCK
 # on the chip and point GMRES_TPU_SELL_CALIBRATION at the file (round-2
 # VERDICT weak item 6: no silent v5e magic numbers).
 _COST_DEFAULTS = {
-    "fixed_ns": 160.0,          # window DMA + output update + pipeline
-    "ns_per_lane": 0.25,        # matvec weight stream, per W lane
-    "ns_per_slot_byte": 0.0125,  # slot DMA, per byte of (2K, C) f32
+    # round-4 on-chip refit with the dispatch-free chain timer
+    # (results/round4/calibrate2.txt).  The old belief (fixed 160 ns,
+    # 0.25 ns/lane) hid the W-proportional densify cost and picked W=512;
+    # this fit picks W=256 on mesh-class patterns — measured 2.44 vs
+    # 1.85 Gnnz/s at G=4 and 2.68 at G=8 on mesh3d@1M
+    # (results/round4/ab_xres_g8_w256.txt).  fixed_ns fit to ~0 because
+    # G-batching amortizes the per-step pipeline cost out of the
+    # per-chunk residual.
+    "fixed_ns": 0.0,            # per-chunk pipeline residual (see above)
+    "ns_per_lane": 0.7388,      # densify + matvec weight stream, per W lane
+    "ns_per_slot_byte": 0.0292,  # slot DMA, per byte of (2K, C) f32
 }
 _COST_CACHE = None
 
@@ -93,15 +101,42 @@ def _cost_model() -> dict:
 MAX_CHUNKS_PER_CALL = int(
     os.environ.get("GMRES_TPU_SELL_MAX_CHUNKS", "32768"))
 
-# ELL chunks processed per grid step (one fat slot DMA + G windows + G
-# matvecs per step): the per-step pipeline overhead (~400 ns measured,
-# scripts/probe_sell_cost.py) dominates per-chunk costs, so batching is
-# the main throughput lever.  Chunk counts are padded to a multiple of G
-# within every output block (a step never crosses blocks).
-# Env-tunable (read at import; the PACK layout depends on it, so it must
-# be constant within a process) for hardware A/B sweeps:
-#   GMRES_TPU_SELL_G=8 python scripts/bench_sell.py ...
+# ELL chunks processed per f32-kernel grid step (one fat slot DMA + G
+# windows + G matvecs per step): the per-step pipeline overhead dominates
+# per-chunk costs, so batching is the main throughput lever.  Chunk counts
+# are padded to a multiple of G within every output block (a step never
+# crosses blocks), making G a PACK-layout property — it is picked per
+# matrix by ``pick_g`` and carried on ``SELLMatrix.G``.
+# ``G_BATCH`` remains the process-wide value the DISTRIBUTED pack pins
+# (every shard of a PartitionedSELL must share one chunk layout, including
+# the all-zero shard's coverage pack), and the env var forces it
+# everywhere for hardware A/B sweeps:
+#   GMRES_TPU_SELL_G=8 python -m gmres_tpu.cli.bench_kernels ...
 G_BATCH = int(os.environ.get("GMRES_TPU_SELL_G", "4"))
+
+# x-RESIDENT kernel gate (shared with ops/pallas/sell_kernel.py): when the
+# whole padded operand fits this VMEM budget the kernel copies x into VMEM
+# scratch once per call and the per-chunk window DMA disappears.  The gate
+# lives here because ``pick_g`` must agree with the kernel's dispatch.
+XRES_MAX_BYTES = int(
+    os.environ.get("GMRES_TPU_SELL_XRES_BYTES", str(8 * 1024 * 1024)))
+NO_XRES = bool(os.environ.get("GMRES_TPU_SELL_NO_XRES"))
+
+
+def pick_g(n_cols: int, W: int) -> int:
+    """Chunks per grid step for a single-device pack: 8 when the
+    x-resident kernel will engage (the fat slot DMA amortizes over more
+    matvecs with no window-prefetch cost to cover — measured 2.68 vs
+    2.44 Gnnz/s on mesh3d@1M, results/round4/ab_xres_g8_w256.txt), else
+    the windowed-path optimum 4 (G=8 windowed measured 9% SLOWER: deeper
+    prefetch rotation without more VMEM to hide it).  The env override
+    (GMRES_TPU_SELL_G) wins for A/B sweeps."""
+    env = os.environ.get("GMRES_TPU_SELL_G")
+    if env:
+        return max(1, int(env))
+    n_buckets = max(1, -(-n_cols // W))
+    xres = (not NO_XRES) and n_buckets * W * 4 <= XRES_MAX_BYTES
+    return 8 if xres else 4
 
 
 def _bitcast_i32(a):
@@ -118,7 +153,7 @@ def _bitcast_i32(a):
                  "dense_vidx"),
     meta_fields=("n_rows", "n_cols", "nnz", "W", "K", "parts",
                  "dense_parts", "n_rows_pad", "n_buckets", "val_dtype",
-                 "frob64", "frob32"),
+                 "frob64", "frob32", "G"),
 )
 @dataclasses.dataclass(frozen=True)
 class SELLMatrix:
@@ -187,6 +222,12 @@ class SELLMatrix:
     # item 1a — the `vals` concat was a 4 GB HLO temp at n=1M)
     frob64: float = 0.0
     frob32: float = 0.0
+    # chunks per f32-kernel grid step; the chunk padding within every
+    # output block is a multiple of this, so it is a PACK-layout property
+    # (picked per matrix by ``pick_g``: 8 when the x-resident kernel will
+    # engage — measured 2.68 vs 2.44 Gnnz/s on mesh3d@1M — else 4, the
+    # windowed-path optimum; results/round4/ab_*.txt)
+    G: int = 4
 
     @property
     def shape(self):
@@ -390,8 +431,13 @@ def sell_from_csr(
     max_dense_bytes: int = 2 << 30,
     df64: bool = False,
     host_arrays: bool = False,
+    G: int | None = None,
 ) -> SELLMatrix | None:
     """Pack CSR into SELL, auto-tuning (W, K); None when unprofitable.
+
+    ``G`` (chunks per grid step, a pack-layout property) defaults to
+    ``pick_g`` once W is known; the distributed partitioner pins it to
+    the process-wide ``G_BATCH`` so every shard shares one layout.
 
     The cost model counts 4 VREG-ops on (C, W) tiles per K-step plus a
     fixed per-chunk overhead; packing is refused when the estimated
@@ -438,9 +484,6 @@ def sell_from_csr(
     packed_arrays = None
     use_native = (
         not os.environ.get("GMRES_TPU_SELL_NUMPY")
-        # the native packer hardcodes the default G_BATCH=4 chunk padding;
-        # experimental G overrides (GMRES_TPU_SELL_G) take the numpy path
-        and G_BATCH == 4
         and np.dtype(out_dtype) in (np.dtype(np.float64), np.dtype(np.float32))
         and A.n_cols < np.iinfo(np.int32).max
         # the native ABI takes int32 row_ptr values: a >=2^31-nnz matrix
@@ -449,9 +492,9 @@ def sell_from_csr(
     )
     if use_native:
         try:
-            packed_arrays, W, K = _pack_entries_native(
+            packed_arrays, W, K, G = _pack_entries_native(
                 A, rp, ci, v, W, K, max_vreg_per_nnz, dense_fill_min,
-                max_dense_bytes, need_lo, out_dtype,
+                max_dense_bytes, need_lo, out_dtype, G,
             )
         except ImportError:
             packed_arrays = None
@@ -482,9 +525,11 @@ def sell_from_csr(
             if tuned is None:
                 return None
             W, K = tuned
+        if G is None:
+            G = pick_g(A.n_cols, W)
         packed_arrays = _pack_entries_numpy(
             rows, ci, v, A.n_cols, W, K, n_blocks, dense_fill_min,
-            max_dense_bytes, need_lo, out_dtype,
+            max_dense_bytes, need_lo, out_dtype, G,
         )
 
     n_buckets = max(1, -(-A.n_cols // W))
@@ -554,15 +599,17 @@ def sell_from_csr(
         val_dtype=np.dtype(out_dtype).name,
         frob64=frob64,
         frob32=frob32,
+        G=G,
     )
 
 
 def _pack_entries_native(A, rp, ci, v, W, K, max_vreg_per_nnz,
-                         dense_fill_min, max_dense_bytes, df64, out_dtype):
+                         dense_fill_min, max_dense_bytes, df64, out_dtype,
+                         G=None):
     """Autotune + pack through the native two-pass streamer.  Returns
-    ``(arrays, W, K)`` with ``arrays`` matching ``_pack_entries_numpy``,
-    or ``(None, W, K)`` when the autotune gate refuses; raises ImportError
-    when the native library is unavailable."""
+    ``(arrays, W, K, G)`` with ``arrays`` matching ``_pack_entries_numpy``,
+    or ``(None, W, K, G)`` when the autotune gate refuses; raises
+    ImportError when the native library is unavailable."""
     from gmres_tpu.native import sell_pack_native, sell_sbmax_native
 
     nnz = int(rp[-1])
@@ -588,8 +635,10 @@ def _pack_entries_native(A, rp, ci, v, W, K, max_vreg_per_nnz,
             tuned = autotune_wk(None, None, A.n_cols, nnz, W, K,
                                 max_vreg_per_nnz, sbmax_counter=counter)
         if tuned is None:
-            return None, W, K  # gate refused; caller returns None
+            return None, W, K, G  # gate refused; caller returns None
         W, K = tuned
+    if G is None:
+        G = pick_g(A.n_cols, W)
 
     dense_min_cnt = max(int(dense_fill_min * W * C), 2 * K)
     # no max(1, .): a budget below one block means ZERO dense blocks,
@@ -598,17 +647,18 @@ def _pack_entries_native(A, rp, ci, v, W, K, max_vreg_per_nnz,
     try:
         arrays = sell_pack_native(rp, sorted_ci, sorted_v, A.n_cols, W, K,
                                   dense_min_cnt, max_dense_blocks, df64,
-                                  out_dtype)
+                                  out_dtype, G=G)
     except ValueError:
         _sort()
         arrays = sell_pack_native(rp, sorted_ci, sorted_v, A.n_cols, W, K,
                                   dense_min_cnt, max_dense_blocks, df64,
-                                  out_dtype)
-    return arrays, W, K
+                                  out_dtype, G=G)
+    return arrays, W, K, G
 
 
 def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
-                        dense_fill_min, max_dense_bytes, need_lo, out_dtype):
+                        dense_fill_min, max_dense_bytes, need_lo, out_dtype,
+                        G=4):
     """Pure-numpy pack of (row, col)-sorted entries.  Returns
     ``(merged, merged_lo, dense_blocks, dense_lo_blocks, chunk_slab,
     chunk_bucket, dense_slab_arr, dense_bucket_arr)`` — dense lists
@@ -702,12 +752,12 @@ def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
     )
 
     # ensure every output block has a chunk (zero-init coverage), then pad
-    # every block's chunk count to a multiple of G_BATCH (a grid step
-    # processes G chunks of one output block)
+    # every block's chunk count to a multiple of G (a grid step processes
+    # G chunks of one output block)
     covered = np.zeros(n_blocks, dtype=np.int64)
     if n_chunks:
         np.add.at(covered, chunk_slab // SLABS_PER_BLOCK, 1)
-    need = np.where(covered == 0, G_BATCH, (-covered) % G_BATCH)
+    need = np.where(covered == 0, G, (-covered) % G)
     n_dummy = int(need.sum())
     if n_dummy:
         dummy_blocks = np.repeat(np.arange(n_blocks, dtype=np.int64), need)

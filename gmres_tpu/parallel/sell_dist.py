@@ -143,6 +143,7 @@ class PartitionedSELL:
             n_rows_pad=self.rows_per_shard,
             n_buckets=self.n_buckets,
             val_dtype=self.val_dtype,
+            G=G_BATCH,
         )
 
 
@@ -388,8 +389,11 @@ def partition_sell(
                     n_chunks=n_blocks * G_BATCH, n_dense=0, ndb=1))
                 continue
         else:
+            # G pinned to the process-wide G_BATCH: every shard of a
+            # PartitionedSELL (including _empty_pack's coverage chunks)
+            # must share one chunk layout
             sell = sell_from_csr(local, W=W, K=K, df64=df64, dtype=dtype,
-                                 host_arrays=True)
+                                 host_arrays=True, G=G_BATCH)
             bad = (sell is None or len(sell.parts) != 1
                    or (sell.dense_parts and len(sell.dense_parts) != 1))
             if bad:

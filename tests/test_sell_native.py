@@ -53,7 +53,7 @@ def _assert_identical(Sn, Sp):
         assert Sn is None
         return
     assert Sn is not None
-    assert (Sn.W, Sn.K) == (Sp.W, Sp.K)
+    assert (Sn.W, Sn.K, Sn.G) == (Sp.W, Sp.K, Sp.G)
     assert Sn.parts == Sp.parts
     assert Sn.dense_parts == Sp.dense_parts
     assert (Sn.n_rows, Sn.n_cols, Sn.nnz) == (Sp.n_rows, Sp.n_cols, Sp.nnz)
@@ -92,6 +92,33 @@ def test_parity_random(seed):
 def test_parity_f32_data():
     A = unstructured_mesh(2048, run=8, seed=5)
     _assert_identical(*_pack_both(A, W=256, K=8, dtype=np.float32))
+
+
+@pytest.mark.parametrize("G", [1, 4, 8])
+def test_parity_explicit_g(G):
+    # G is a pack-layout parameter on BOTH engines (round-4: the native
+    # packer's padding was hardcoded at 4, forcing G sweeps onto the
+    # ~20x-slower numpy path)
+    A = unstructured_mesh(2600, run=5, seed=9)
+    Sn, Sp = _pack_both(A, W=256, K=8, G=G)
+    assert Sn.G == G
+    _assert_identical(Sn, Sp)
+
+
+def test_default_g_follows_xres_gate():
+    # small operand -> x-resident kernel -> G=8 pack; a pack whose padded
+    # operand exceeds the VMEM budget stays at the windowed optimum G=4
+    from gmres_tpu.ops.sell import NO_XRES, pick_g
+
+    if os.environ.get("GMRES_TPU_SELL_G") or NO_XRES:
+        pytest.skip("SELL env overrides active")
+    assert pick_g(4096, 512) == 8
+    assert pick_g(64 * 1024 * 1024, 512) == 4
+    A = unstructured_mesh(4096, run=8, seed=3)
+    S = sell_from_csr(A, host_arrays=True)
+    assert S.G == 8
+    for n_chunks, _, _ in S.parts:
+        assert n_chunks % 8 == 0
 
 
 def test_parity_with_dense_blocks():
