@@ -192,9 +192,10 @@ int64_t parse_coord(const char* buf,
 // tests/test_sell_native.py): same rb/sb grouping, same dense
 // classification, same chunk layout INCLUDING the G-batch dummy padding
 // positions numpy produces via its stable argsort (G is a caller
-// parameter — the Python side picks it per matrix; <1 means the default),
-// so the fill pass writes values directly into their final
-// (chunk, slot, row) cells.
+// parameter; G < 1 in the PLAN pass means auto-pick from the per-block
+// chunk counts, reported via out_counts[4] — the FILL pass must receive
+// the resolved G), so the fill pass writes values directly into their
+// final (chunk, slot, row) cells.
 //
 // Layout contract (ops/sell.py SELLMatrix):
 //   slab = row / C;  bucket = col / W;  sb = slab * n_buckets + bucket
@@ -216,7 +217,8 @@ static const int64_t SELL_G_BATCH = 4;  // default when the G param is < 1
 //   sb_pair[s]    (s < n_sb): slab * n_buckets + bucket, ascending
 //   chunk_base[s]: first FINAL chunk index of ELL pair s (dummy-shifted)
 //   pair_rank[s] : dense block index + 1, or 0 for ELL pairs
-//   out_counts   : [n_sb, n_chunks_total(incl dummies), n_dense_real, R]
+//   out_counts   : [n_sb, n_chunks_total(incl dummies), n_dense_real, R,
+//                   resolved G]
 // Returns R >= 0, or -1 when a row's columns are not sorted ascending.
 int64_t sell_pack_plan(int64_t n, int64_t n_cols, int64_t nnz,
                        const int32_t* rp,
@@ -344,6 +346,27 @@ int64_t sell_pack_plan(int64_t n, int64_t n_cols, int64_t nnz,
         const int64_t layers = (sb_max[s] + K - 1) / K;
         covered[(sb_pair[s] / nb) / SELL_SLABS_PER_BLOCK] += layers;
     }
+
+    // G auto-pick (G < 1): the x-resident kernel gets monotonically
+    // faster with larger G until dummy padding eats the gain (v5e
+    // mesh3d@1M: G=8 +0.1% pad 2.68 Gnnz/s, G=16 +0.2% 2.79, G=32 +33%
+    // 2.19 — results/round4/ab_xres_g*_w256.txt), so take the largest
+    // candidate whose EXACT padding over the real per-block chunk
+    // counts stays within 2%.
+    int64_t Gpick = Gp;
+    if (G < 1) {
+        int64_t total_real = 0;
+        for (int64_t b = 0; b < n_blocks; ++b) total_real += covered[b];
+        static const int64_t cands[3] = {16, 8, 4};
+        Gpick = 4;
+        for (int ci_ = 0; ci_ < 3; ++ci_) {
+            const int64_t g = cands[ci_];
+            int64_t pad = 0;
+            for (int64_t b = 0; b < n_blocks; ++b)
+                pad += covered[b] == 0 ? g : (g - covered[b] % g) % g;
+            if (pad * 50 <= total_real) { Gpick = g; break; }
+        }
+    }
     // need[b] folded into a prefix: dummies of block b sit after the reals
     // of the block's first slab
     int64_t n_dummy = 0;
@@ -352,8 +375,8 @@ int64_t sell_pack_plan(int64_t n, int64_t n_cols, int64_t nnz,
     need_prefix[0] = 0;
     for (int64_t b = 0; b < n_blocks; ++b) {
         const int64_t need = covered[b] == 0
-            ? Gp
-            : (Gp - covered[b] % Gp) % Gp;
+            ? Gpick
+            : (Gpick - covered[b] % Gpick) % Gpick;
         need_prefix[b + 1] = need_prefix[b] + need;
         n_dummy += need;
     }
@@ -374,6 +397,7 @@ int64_t sell_pack_plan(int64_t n, int64_t n_cols, int64_t nnz,
     out_counts[1] = raw + n_dummy;
     out_counts[2] = rank;
     out_counts[3] = R;
+    out_counts[4] = Gpick;  // resolved G (== G when caller fixed it)
     memcpy(sb_max_out, sb_max, sizeof(int64_t) * (size_t)n_sb);
     free(sb_cnt); free(sb_max); free(covered); free(need_prefix);
     return R;

@@ -177,15 +177,19 @@ def trisolve_native(row_ptr, col_idx, vals, diag, b):
 
 
 def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
-                     df64: bool, out_dtype, G: int = 4):
+                     df64: bool, out_dtype, G: int | None = None):
     """Native SELL pack (the hot loops of ``ops/sell.py:sell_from_csr``).
 
     Inputs: int32 CSR (``rp`` length n+1, ``ci``/``v`` length >= nnz with
-    sorted columns per row), the tuned (W, K), and the classification
-    thresholds.  Returns the pre-assembled arrays in the exact layout the
-    numpy packer produces (bit-identical; tests/test_sell_native.py):
-    ``(vals_arr, cols_arr, merged, merged_lo, dense_hi, dense_lo,
-    chunk_slab, chunk_bucket, dense_slab, dense_bucket)``.
+    sorted columns per row), the tuned (W, K), the classification
+    thresholds, and the chunk-padding batch ``G`` (``None`` = the plan
+    pass auto-picks the largest of {16, 8, 4} whose exact dummy padding
+    over the per-block chunk counts stays within 2%).  Returns
+    ``(arrays, G)`` with ``arrays`` the pre-assembled tuple in the exact
+    layout the numpy packer produces (bit-identical;
+    tests/test_sell_native.py): ``(vals_arr, cols_arr, merged, merged_lo,
+    dense_hi, dense_lo, chunk_slab, chunk_bucket, dense_slab,
+    dense_bucket)`` and ``G`` the resolved batch.
 
     Raises ``ValueError`` when a row's columns are unsorted (caller sorts
     and retries) and ``ImportError``/``TypeError`` when the native path is
@@ -211,9 +215,12 @@ def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
     chunk_base = np.empty(nnz + 1, dtype=np.int64)
     pair_rank = np.empty(nnz, dtype=np.int32)
     sb_max = np.empty(nnz, dtype=np.int64)
-    counts = np.zeros(4, dtype=np.int64)
+    counts = np.zeros(5, dtype=np.int64)
+    # G=0 asks the plan pass to auto-pick from the exact per-block chunk
+    # counts (largest of {16, 8, 4} within 2% padding); the resolved G
+    # comes back in counts[4] and MUST feed the fill pass
     R = lib.sell_pack_plan(
-        n, int(n_cols), nnz, rp, ci, W, K, int(G),
+        n, int(n_cols), nnz, rp, ci, W, K, 0 if G is None else int(G),
         int(dense_min_cnt), int(max_dense_blocks),
         rb_sbrank, sb_pair, chunk_base, pair_rank, sb_max, counts,
     )
@@ -221,7 +228,8 @@ def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
         raise ValueError("unsorted columns within a row")
     if R < 0:
         raise ImportError("native pack allocation failure")
-    n_sb, n_chunks, n_dense, _ = (int(c) for c in counts)
+    n_sb, n_chunks, n_dense, _ = (int(c) for c in counts[:4])
+    G = int(counts[4])
 
     C_ = 128
     vals_arr = np.zeros((n_chunks, K, C_), dtype=out_dtype)
@@ -252,7 +260,7 @@ def sell_pack_native(rp, ci, v, n_cols, W, K, dense_min_cnt, max_dense_blocks,
     return (vals_arr, cols_arr, merged,
             merged_lo if df64 else None,
             dense_hi, dense_lo if df64 else None,
-            chunk_slab, chunk_bucket, dense_slab, dense_bucket)
+            chunk_slab, chunk_bucket, dense_slab, dense_bucket), G
 
 
 def sell_sbmax_native(rp, ci, n_cols, W):

@@ -123,20 +123,35 @@ XRES_MAX_BYTES = int(
 NO_XRES = bool(os.environ.get("GMRES_TPU_SELL_NO_XRES"))
 
 
-def pick_g(n_cols: int, W: int) -> int:
-    """Chunks per grid step for a single-device pack: 8 when the
-    x-resident kernel will engage (the fat slot DMA amortizes over more
-    matvecs with no window-prefetch cost to cover — measured 2.68 vs
-    2.44 Gnnz/s on mesh3d@1M, results/round4/ab_xres_g8_w256.txt), else
-    the windowed-path optimum 4 (G=8 windowed measured 9% SLOWER: deeper
-    prefetch rotation without more VMEM to hide it).  The env override
-    (GMRES_TPU_SELL_G) wins for A/B sweeps."""
+def pick_g(n_cols: int, W: int) -> int | None:
+    """Chunks per grid step for a single-device pack.  ``None`` = let the
+    pack engine auto-pick from the EXACT per-block chunk counts (largest
+    of {16, 8, 4} within 2% dummy padding — ``_auto_g``): on the
+    x-resident kernel throughput rises with G until padding eats the gain
+    (v5e mesh3d@1M: G=8 +0.1% pad 2.68 Gnnz/s, G=16 +0.2% 2.79, G=32
+    +33% 2.19 — results/round4/ab_xres_g*_w256.txt).  When the operand
+    exceeds the x-residency budget the windowed kernel runs instead and
+    gets the measured windowed optimum 4 (G=8 windowed is 9% SLOWER:
+    deeper prefetch rotation without more VMEM to hide it).  The env
+    override (GMRES_TPU_SELL_G) wins for A/B sweeps."""
     env = os.environ.get("GMRES_TPU_SELL_G")
     if env:
         return max(1, int(env))
     n_buckets = max(1, -(-n_cols // W))
     xres = (not NO_XRES) and n_buckets * W * 4 <= XRES_MAX_BYTES
-    return 8 if xres else 4
+    return None if xres else 4
+
+
+def _auto_g(covered: np.ndarray) -> int:
+    """Largest G in {16, 8, 4} whose exact dummy padding over the real
+    per-block chunk counts stays within 2% (numpy-engine twin of the
+    native plan pass's auto-pick)."""
+    total = int(covered.sum())
+    for g in (16, 8):
+        pad = int(np.where(covered == 0, g, (-covered) % g).sum())
+        if pad * 50 <= total:
+            return g
+    return 4
 
 
 def _bitcast_i32(a):
@@ -224,9 +239,9 @@ class SELLMatrix:
     frob32: float = 0.0
     # chunks per f32-kernel grid step; the chunk padding within every
     # output block is a multiple of this, so it is a PACK-layout property
-    # (picked per matrix by ``pick_g``: 8 when the x-resident kernel will
-    # engage — measured 2.68 vs 2.44 Gnnz/s on mesh3d@1M — else 4, the
-    # windowed-path optimum; results/round4/ab_*.txt)
+    # (resolved per matrix: ``pick_g`` pins the windowed path to 4 and
+    # lets the engines auto-pick {16, 8, 4} by exact padding when the
+    # x-resident kernel engages; results/round4/ab_*.txt)
     G: int = 4
 
     @property
@@ -526,8 +541,8 @@ def sell_from_csr(
                 return None
             W, K = tuned
         if G is None:
-            G = pick_g(A.n_cols, W)
-        packed_arrays = _pack_entries_numpy(
+            G = pick_g(A.n_cols, W)  # int (env/windowed pin) or None (auto)
+        packed_arrays, G = _pack_entries_numpy(
             rows, ci, v, A.n_cols, W, K, n_blocks, dense_fill_min,
             max_dense_bytes, need_lo, out_dtype, G,
         )
@@ -638,27 +653,27 @@ def _pack_entries_native(A, rp, ci, v, W, K, max_vreg_per_nnz,
             return None, W, K, G  # gate refused; caller returns None
         W, K = tuned
     if G is None:
-        G = pick_g(A.n_cols, W)
+        G = pick_g(A.n_cols, W)  # int (env/windowed pin) or None (auto)
 
     dense_min_cnt = max(int(dense_fill_min * W * C), 2 * K)
     # no max(1, .): a budget below one block means ZERO dense blocks,
     # exactly like the numpy packer's empty keep list
     max_dense_blocks = max_dense_bytes // (W * C * 4)
     try:
-        arrays = sell_pack_native(rp, sorted_ci, sorted_v, A.n_cols, W, K,
-                                  dense_min_cnt, max_dense_blocks, df64,
-                                  out_dtype, G=G)
+        arrays, G = sell_pack_native(rp, sorted_ci, sorted_v, A.n_cols, W,
+                                     K, dense_min_cnt, max_dense_blocks,
+                                     df64, out_dtype, G=G)
     except ValueError:
         _sort()
-        arrays = sell_pack_native(rp, sorted_ci, sorted_v, A.n_cols, W, K,
-                                  dense_min_cnt, max_dense_blocks, df64,
-                                  out_dtype, G=G)
+        arrays, G = sell_pack_native(rp, sorted_ci, sorted_v, A.n_cols, W,
+                                     K, dense_min_cnt, max_dense_blocks,
+                                     df64, out_dtype, G=G)
     return arrays, W, K, G
 
 
 def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
                         dense_fill_min, max_dense_bytes, need_lo, out_dtype,
-                        G=4):
+                        G=None):
     """Pure-numpy pack of (row, col)-sorted entries.  Returns
     ``(merged, merged_lo, dense_blocks, dense_lo_blocks, chunk_slab,
     chunk_bucket, dense_slab_arr, dense_bucket_arr)`` — dense lists
@@ -753,10 +768,13 @@ def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
 
     # ensure every output block has a chunk (zero-init coverage), then pad
     # every block's chunk count to a multiple of G (a grid step processes
-    # G chunks of one output block)
+    # G chunks of one output block); G=None auto-picks from the exact
+    # per-block counts (must mirror the native plan pass — parity tested)
     covered = np.zeros(n_blocks, dtype=np.int64)
     if n_chunks:
         np.add.at(covered, chunk_slab // SLABS_PER_BLOCK, 1)
+    if G is None:
+        G = _auto_g(covered)
     need = np.where(covered == 0, G, (-covered) % G)
     n_dummy = int(need.sum())
     if n_dummy:
@@ -790,7 +808,7 @@ def _pack_entries_numpy(rows, ci, v, n_cols, W, K, n_blocks,
             v_e - v_hi_e.astype(np.float64)
         ).astype(np.float32)
     return (merged, merged_lo, dense_blocks, dense_lo_blocks, chunk_slab,
-            chunk_bucket, dense_slab_arr, dense_bucket_arr)
+            chunk_bucket, dense_slab_arr, dense_bucket_arr), G
 
 
 def _pad_x(A: "SELLMatrix", x: jax.Array) -> jax.Array:

@@ -106,19 +106,34 @@ def test_parity_explicit_g(G):
 
 
 def test_default_g_follows_xres_gate():
-    # small operand -> x-resident kernel -> G=8 pack; a pack whose padded
-    # operand exceeds the VMEM budget stays at the windowed optimum G=4
+    # small operand -> x-resident kernel -> engines auto-pick G from the
+    # exact per-block padding; a pack whose padded operand exceeds the
+    # VMEM budget stays at the windowed optimum G=4
     from gmres_tpu.ops.sell import NO_XRES, pick_g
 
     if os.environ.get("GMRES_TPU_SELL_G") or NO_XRES:
         pytest.skip("SELL env overrides active")
-    assert pick_g(4096, 512) == 8
-    assert pick_g(64 * 1024 * 1024, 512) == 4
+    assert pick_g(4096, 512) is None  # auto (x-resident)
+    assert pick_g(64 * 1024 * 1024, 512) == 4  # windowed pin
     A = unstructured_mesh(4096, run=8, seed=3)
     S = sell_from_csr(A, host_arrays=True)
-    assert S.G == 8
+    assert S.G in (4, 8, 16)
     for n_chunks, _, _ in S.parts:
-        assert n_chunks % 8 == 0
+        assert n_chunks % S.G == 0
+
+
+def test_auto_g_exact_padding_rule():
+    # the auto-pick takes the LARGEST candidate within 2% exact padding
+    from gmres_tpu.ops.sell import _auto_g
+
+    # all blocks at 48 chunks: 16 | 48 -> zero padding -> 16
+    assert _auto_g(np.full(64, 48, np.int64)) == 16
+    # blocks at 20: G=16 pads +12/20, G=8 pads +4/20, G=4 pads 0 -> 4
+    assert _auto_g(np.full(64, 20, np.int64)) == 4
+    # blocks at 24: G=16 pads +8/24, G=8 pads 0 -> 8
+    assert _auto_g(np.full(64, 24, np.int64)) == 8
+    # empty blocks get coverage dummies in the candidate's size
+    assert _auto_g(np.zeros(4, np.int64)) == 4
 
 
 def test_parity_with_dense_blocks():
