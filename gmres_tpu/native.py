@@ -277,7 +277,9 @@ def sell_sbmax_native(rp, ci, n_cols, W):
     chunk_base = np.empty(nnz + 1, dtype=np.int64)
     pair_rank = np.empty(nnz, dtype=np.int32)
     sb_max = np.empty(nnz, dtype=np.int64)
-    counts = np.zeros(4, dtype=np.int64)
+    # 5 slots: csrc sell_pack_plan writes out_counts[4] (the resolved G)
+    # unconditionally; a 4-slot buffer is an 8-byte heap overwrite.
+    counts = np.zeros(5, dtype=np.int64)
     # K=4, G=4 are placeholders: sb_max is (K, G)-independent
     R = lib.sell_pack_plan(
         n, int(n_cols), nnz, rp, ci, W, 4, 4, np.iinfo(np.int64).max,

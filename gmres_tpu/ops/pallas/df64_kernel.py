@@ -170,6 +170,16 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _halo_pad(offsets) -> int:
+    """Operand halo width: at least max|offset|, rounded so the kernels'
+    manual DMA windows (``block + 2*pad`` f32 elements) stay multiples of
+    the 1-D Mosaic tile (1024 32-bit words) — an unaligned memref_slice
+    is a hard compile error at small shapes (e.g. the 1-device dryrun's
+    n=256 solve sliced 1280 from a 2048 buffer: 'Slice shape along
+    dimension 0 must be aligned to tiling (1024)')."""
+    return _round_up(max(1, max(abs(o) for o in offsets)), 512)
+
+
 def _residual_kernel(dh_ref, dl_ref, bh_ref, bl_ref, x_hbm_h, x_hbm_l,
                      rh_ref, rl_ref, acc_ref, xh_vmem, xl_vmem, semh, seml,
                      *, offsets, pad, block):
@@ -348,7 +358,7 @@ def dia_spmv_df64(A, x, interpret: bool = False):
     n = A.n_rows
     block = min(_BLOCK, _round_up(n, _LANES * 8))
     n_pad = _round_up(n, block)
-    pad = _round_up(max(1, max(abs(o) for o in A.offsets)), _LANES)
+    pad = _halo_pad(A.offsets)
 
     dh, dl = A.data_hi, A.data_lo
     if n_pad != n:
@@ -429,7 +439,7 @@ def residual_df64_halo(A: DF64HaloDia, bh, bl, xh_local, xl_local,
     xx = _exchange_halos(stacked, hl, hr, P, axis_name, axis=1)  # (2, r+hl+hr)
 
     dh, dl = A.data_hi[0], A.data_lo[0]                 # (D, r)
-    pad = _round_up(max(1, max(abs(o) for o in A.offsets)), _LANES)
+    pad = _halo_pad(A.offsets)
     assert pad >= hl and pad >= hr, (pad, hl, hr)
     block = min(_BLOCK, _round_up(r, _LANES * 8))
     n_pad = _round_up(r, block)

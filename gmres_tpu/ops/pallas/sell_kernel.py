@@ -226,13 +226,17 @@ def _dense_call(bucket, slab, vidx, blocks, xp, *, W, n_chunks, n_slabs,
 @functools.partial(
     jax.jit,
     static_argnames=("W", "K", "G", "n_chunks", "n_slabs", "first_block",
-                     "interpret"),
+                     "interpret", "xres"),
 )
 def _sell_call(bucket, slab, packed, xp, *, W, K, G=4, n_chunks, n_slabs,
-               first_block, interpret=False):
+               first_block, interpret=False, xres=None):
     assert n_chunks % G == 0, n_chunks
     n_buckets = xp.shape[0]
-    xres = (not _NO_XRES) and n_buckets * W * 4 <= _XRES_MAX_BYTES
+    # xres is an explicit static arg (not read from the module global at
+    # trace time) so callers toggling NO_XRES get distinct jit cache keys
+    # (ADVICE round-4 medium: the A/B test was vacuous otherwise).
+    if xres is None:
+        xres = (not _NO_XRES) and n_buckets * W * 4 <= _XRES_MAX_BYTES
     if xres:
         kernel = functools.partial(_sell_kernel_xres, W=W, K=K, G=G)
         scratch = [
@@ -284,6 +288,9 @@ def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,
     x = x.astype(A.dtype)
     xp = _pad_x(A, x).reshape(A.n_buckets, 1, A.W)
     n_slabs_total = A.n_rows_pad // C
+    # decide x-residency here (reading the live module attribute so tests
+    # can monkeypatch it) and pass it down as a static jit argument
+    xres = (not _NO_XRES) and A.n_buckets * A.W * 4 <= _XRES_MAX_BYTES
 
     def cover(outs):
         y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -299,7 +306,7 @@ def sell_spmv_pallas(A: SELLMatrix, x: jax.Array,
             A.bucket[p], A.slab[p], A.packed[p], xp,
             W=A.W, K=A.K, G=A.G, n_chunks=n_chunks,
             n_slabs=n_blocks * SLABS_PER_BLOCK,
-            first_block=first_block, interpret=interpret,
+            first_block=first_block, interpret=interpret, xres=xres,
         ))
     y = cover(outs)
     if A.n_dense_chunks:

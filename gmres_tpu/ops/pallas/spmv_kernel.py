@@ -39,6 +39,15 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _halo_pad(offsets, dtype) -> int:
+    """Operand halo width: at least max|offset|, rounded so the manual DMA
+    window (``block + 2*pad`` elements) stays a multiple of the 1-D Mosaic
+    tile (1024 32-bit words; 2048 elements for 16-bit operands) — an
+    unaligned memref_slice is a hard compile error at small shapes."""
+    half_tile = 512 if jnp.dtype(dtype).itemsize >= 4 else 1024
+    return _round_up(max(1, max(abs(o) for o in offsets)), half_tile)
+
+
 def _dia_kernel_dma(data_ref, x_hbm_ref, y_ref, x_vmem, sem, *, offsets, pad, block):
     """Row block with explicit DMA of the x window (block + 2*pad) from HBM."""
     i = pl.program_id(0)
@@ -104,7 +113,7 @@ def dia_spmv_pallas_windowed(data: jax.Array, xx: jax.Array, hl: int, hr: int,
     D, r = data.shape
     block = min(_BLOCK, _round_up(r, _LANES * 8))
     n_pad = _round_up(r, block)
-    pad = _round_up(max(1, max(abs(o) for o in offsets)), _LANES)
+    pad = _halo_pad(offsets, data.dtype)
     assert pad >= hl and pad >= hr, (pad, hl, hr)
 
     if n_pad != r:
@@ -126,7 +135,7 @@ def dia_spmv_pallas(A, x: jax.Array, interpret: bool = False) -> jax.Array:
 
     block = min(_BLOCK, _round_up(n, _LANES * 8))
     n_pad = _round_up(n, block)
-    pad = _round_up(max(1, max(abs(o) for o in A.offsets)), _LANES)
+    pad = _halo_pad(A.offsets, A.data.dtype)
 
     data = A.data
     if n_pad != n:

@@ -254,8 +254,11 @@ class SELLMatrix:
 
     @property
     def frob_norm(self) -> float:
-        """||A||_F of the true nonzeros in the current value dtype."""
-        return self.frob32 if self.dtype == np.float32 else self.frob64
+        """||A||_F of the true nonzeros in the current value dtype.
+        frob64 is reserved for fp64 packs; every <=32-bit float tier
+        (f32, bf16 casts) reports the f32-cast norm — the norm of the
+        values the kernels actually stream (ADVICE round-4 low)."""
+        return self.frob64 if self.dtype == np.float64 else self.frob32
 
     @property
     def n_chunks(self) -> int:

@@ -80,23 +80,13 @@ def spmv(
     # A single >16M-element XLA gather reproducibly faults the TPU worker
     # (measured round 2; cli/bench_kernels.py documents the crash), and this
     # branch is solve()'s fallback whenever SELL's cost gate refuses the
-    # pattern.  Chunk the gather + segment-sum into <=8M-nnz slices on TPU —
-    # slow (the gather path always is, ~5e7 nnz/s) but it completes instead
-    # of crashing the worker mid-solve (VERDICT round-2 item 7).
+    # pattern.  Chunk the gather + segment-sum into <=GATHER_CHUNK_NNZ
+    # slices on TPU — slow (the gather path always is, ~5e7 nnz/s) but it
+    # completes instead of crashing the worker mid-solve (VERDICT round-2
+    # item 7; re-verified as round-4 item 3).
     nnz_pad = A.vals.shape[0]
-    chunk = 8 * 1024 * 1024
-    if jax.default_backend() == "tpu" and nnz_pad > 2 * chunk:
-        y = jnp.zeros((A.n_rows,), dtype=A.vals.dtype)
-        for lo in range(0, nnz_pad, chunk):
-            hi = min(lo + chunk, nnz_pad)
-            prod = A.vals[lo:hi] * xg[A.col_idx[lo:hi]]
-            y = y + jax.ops.segment_sum(
-                prod,
-                A.row_ids[lo:hi],
-                num_segments=A.n_rows,
-                indices_are_sorted=True,
-            )
-        return y
+    if jax.default_backend() == "tpu" and nnz_pad > 2 * GATHER_CHUNK_NNZ:
+        return csr_spmv_chunked(A, xg, GATHER_CHUNK_NNZ)
     prod = A.vals * xg[A.col_idx]
     return jax.ops.segment_sum(
         prod,
@@ -104,6 +94,30 @@ def spmv(
         num_segments=A.n_rows,
         indices_are_sorted=True,
     )
+
+
+# Largest single gather the TPU path will emit; one >16M-element gather
+# reproducibly faults the v5e worker (round-2 probe), so stay at half that.
+GATHER_CHUNK_NNZ = 8 * 1024 * 1024
+
+
+def csr_spmv_chunked(A, xg: jax.Array, chunk: int) -> jax.Array:
+    """Gather + segment-sum in <=``chunk``-nnz slices (static split — the
+    slices are Python-loop unrolled under jit).  Rows straddling a chunk
+    boundary accumulate their partials in a different order than the
+    one-shot segment-sum — ulp-level reassociation only."""
+    y = jnp.zeros((A.n_rows,), dtype=A.vals.dtype)
+    nnz_pad = A.vals.shape[0]
+    for lo in range(0, nnz_pad, chunk):
+        hi = min(lo + chunk, nnz_pad)
+        prod = A.vals[lo:hi] * xg[A.col_idx[lo:hi]]
+        y = y + jax.ops.segment_sum(
+            prod,
+            A.row_ids[lo:hi],
+            num_segments=A.n_rows,
+            indices_are_sorted=True,
+        )
+    return y
 
 
 def spmv_accum(

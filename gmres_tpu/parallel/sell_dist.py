@@ -51,17 +51,25 @@ from gmres_tpu.sparse import CSRMatrix
                  "dense_vidx"),
     meta_fields=("n_shards", "rows_per_shard", "n_rows", "n_cols", "nnz",
                  "W", "K", "n_buckets", "n_chunks", "n_dense_chunks",
-                 "n_dense_blocks", "df64", "val_dtype"),
+                 "n_dense_blocks", "df64", "val_dtype", "parts"),
 )
 @dataclasses.dataclass(frozen=True)
 class PartitionedSELL:
     """Per-shard SELL packs stacked over a leading shard axis.
 
     Static metadata is identical across shards by construction (shared
-    (W, K); chunk/dense counts padded to the shard maximum), so the
-    shard_map'd kernel traces once.  ``n_dense_chunks == 0`` means no
-    shard crossed the dense-fill threshold and the dense side is a single
-    shared zero block per shard.
+    (W, K); chunk/dense counts padded per PART to the cross-shard
+    per-block maxima), so the shard_map'd kernel traces once.
+    ``n_dense_chunks == 0`` means no shard crossed the dense-fill
+    threshold and the dense side is a single shared zero block per shard.
+
+    ``parts`` is the STATIC part plan shared by every shard: each entry
+    ``(n_chunks_p, first_block, n_blocks_p)`` owns a disjoint contiguous
+    local output-block range and at most ``MAX_CHUNKS_PER_CALL`` chunks
+    (one ``pallas_call`` each — the round-4 retention bench fell back to
+    the 18x-slower CSR gather because the single-part pack refused a
+    37K-chunk shard).  Chunk arrays are the per-part lists concatenated;
+    ``n_chunks = sum(n_chunks_p)``.
     """
 
     # only the merged kernel view is stored; the per-slot value/column
@@ -83,11 +91,14 @@ class PartitionedSELL:
     W: int
     K: int
     n_buckets: int
-    n_chunks: int          # per shard, multiple of G_BATCH
+    n_chunks: int          # per shard TOTAL over parts, multiple of G_BATCH
     n_dense_chunks: int    # per shard (0 = no dense side anywhere)
     n_dense_blocks: int    # per shard, incl. the shared zero block
     df64: bool             # lo sidecars present (df64 outer OR fp64 values)
     val_dtype: str = "float32"
+    # static per-shard part plan ((n_chunks_p, first_block, n_blocks_p), ...)
+    # — default of () means one part spanning all blocks (legacy packs)
+    parts: tuple = ()
 
     @property
     def dtype(self):
@@ -118,14 +129,26 @@ class PartitionedSELL:
 
     def local_sell(self) -> SELLMatrix:
         """Rebuild the shard-local SELLMatrix inside shard_map (leaves
-        there have leading dim 1)."""
+        there have leading dim 1).  Multi-part packs slice the
+        concatenated chunk arrays at the static part offsets — one
+        ``pallas_call`` per part, as in the single-device path."""
         n_blocks = self.rows_per_shard // ROWS_PER_BLOCK
         has_dense = self.n_dense_chunks > 0
+        parts = self.parts or ((self.n_chunks, 0, n_blocks),)
+        pk, plo, bk, sl = [], [], [], []
+        off = 0
+        for (nc, _blo, _nb) in parts:
+            pk.append(self.packed[0, off:off + nc])
+            if self.df64:
+                plo.append(self.packed_lo[0, off:off + nc])
+            bk.append(self.bucket[0, off:off + nc])
+            sl.append(self.slab[0, off:off + nc])
+            off += nc
         return SELLMatrix(
-            packed=(self.packed[0],),
-            packed_lo=(self.packed_lo[0],) if self.df64 else (),
-            bucket=(self.bucket[0],),
-            slab=(self.slab[0],),
+            packed=tuple(pk),
+            packed_lo=tuple(plo),
+            bucket=tuple(bk),
+            slab=tuple(sl),
             dense_data=(self.dense_data[0],),
             dense_lo=(self.dense_lo[0],) if self.df64 else (),
             dense_bucket=(self.dense_bucket[0],) if has_dense else (),
@@ -136,7 +159,7 @@ class PartitionedSELL:
             nnz=self.nnz,
             W=self.W,
             K=self.K,
-            parts=((self.n_chunks, 0, n_blocks),),
+            parts=tuple(parts),
             dense_parts=(
                 ((self.n_dense_chunks, 0, n_blocks),) if has_dense else ()
             ),
@@ -212,6 +235,58 @@ def _pad_chunks(arrs, n_pad, last_slab=None):
     else:
         pad = np.zeros((n_pad - cur,) + a.shape[1:], a.dtype)
     return np.concatenate([np.asarray(a), pad])
+
+
+def _plan_shard_parts(mx):
+    """Static per-shard part plan from the cross-shard per-block chunk
+    maxima ``mx``: greedy cut at output-block boundaries so every part
+    holds at most MAX_CHUNKS_PER_CALL chunks (the SMEM scalar-prefetch
+    budget per ``pallas_call``).  A single block over the budget gets its
+    own part, mirroring ``ops/sell._plan_parts``.  Returns
+    ``((cap, first_block, n_blocks), ...)`` — identical for every shard,
+    which is what lets the shard_map'd kernel trace once (round-4 VERDICT
+    item 1: the single-part pack refused 37K-chunk shards and fell back
+    to the 18x-slower CSR gather)."""
+    from gmres_tpu.ops.sell import MAX_CHUNKS_PER_CALL
+
+    parts = []
+    blo, cap = 0, 0
+    for b in range(mx.shape[0]):
+        c = int(mx[b])
+        if cap and cap + c > MAX_CHUNKS_PER_CALL:
+            parts.append((cap, blo, b - blo))
+            blo, cap = b, 0
+        cap += c
+    parts.append((cap, blo, mx.shape[0] - blo))
+    return tuple(parts)
+
+
+def _pad_shard_to_plan(p, part_plan):
+    """Rewrite one shard snapshot's chunk arrays to the shared part plan:
+    per part, slice the shard's chunks for that block range (the list is
+    slab-sorted, so it is contiguous) and pad to the part capacity with
+    inert repeats of the part's last chunk (zero values, existing block —
+    never triggers a block re-zero and lands in complete G-groups since
+    both counts are multiples of G_BATCH)."""
+    pref = np.zeros(p.cnt.shape[0] + 1, dtype=np.int64)
+    np.cumsum(p.cnt, out=pref[1:])
+    pk, plo, bk, sl = [], [], [], []
+    for (cap, blo, nb) in part_plan:
+        a, b = int(pref[blo]), int(pref[blo + nb])
+        pad = cap - (b - a)
+        assert pad >= 0 and pad % G_BATCH == 0, (cap, b - a)
+        pk.append(_pad_chunks((p.packed[a:b],), cap))
+        if p.packed_lo.shape[0]:
+            plo.append(_pad_chunks((p.packed_lo[a:b],), cap))
+        bk.append(_pad_chunks((p.bucket[a:b],), cap))
+        sl.append(_pad_chunks((p.slab[a:b],), cap,
+                              last_slab=int(p.slab[b - 1])))
+    p.packed = np.concatenate(pk) if len(pk) > 1 else pk[0]
+    if plo:
+        p.packed_lo = np.concatenate(plo) if len(plo) > 1 else plo[0]
+    p.bucket = np.concatenate(bk) if len(bk) > 1 else bk[0]
+    p.slab = np.concatenate(sl) if len(sl) > 1 else sl[0]
+    return p
 
 
 def sell_rows_per(n: int, n_shards: int) -> int:
@@ -366,12 +441,16 @@ def partition_sell(
                 return None
             W, K = tuned
 
-    metas = []   # per shard: (n_chunks, n_dense, n_dense_blocks)
+    def _cat(arrs):
+        arrs = [np.asarray(a) for a in arrs]
+        return arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
+
+    metas = []   # per shard: (per-block chunk counts, n_dense, ndb)
     packs = {}   # shard -> retained snapshot (all shards when owned=None)
     retain = set(range(n_shards)) if owned is None else set(owned)
     # per-host INPUT: unowned shards cannot be packed (their entries are
     # on other processes) — the padding maxima come from an exchange below
-    # A pack failure (cost-gate refusal, multi-part split) is PROCESS-LOCAL
+    # A pack failure (cost-gate refusal, dense multi-part) is PROCESS-LOCAL
     # under per-host input, but the padding-metadata exchange below is a
     # collective every process must reach — an early return here would
     # deadlock the others in the allgather.  Record the failure, fall
@@ -386,46 +465,43 @@ def partition_sell(
                 sell = _empty_pack(n_blocks, W, K, np.dtype(dtype))
             else:
                 metas.append(SimpleNamespace(
-                    n_chunks=n_blocks * G_BATCH, n_dense=0, ndb=1))
+                    cnt=np.full(n_blocks, G_BATCH, np.int64),
+                    n_dense=0, ndb=1))
                 continue
         else:
             # G pinned to the process-wide G_BATCH: every shard of a
             # PartitionedSELL (including _empty_pack's coverage chunks)
-            # must share one chunk layout
+            # must share one chunk layout.  A shard whose chunk list
+            # exceeds MAX_CHUNKS_PER_CALL is FINE now: the part plan below
+            # splits every shard at the same static block boundaries
+            # (round-4 VERDICT item 1 — the single-part refusal cost 18x).
             sell = sell_from_csr(local, W=W, K=K, df64=df64, dtype=dtype,
                                  host_arrays=True, G=G_BATCH)
-            bad = (sell is None or len(sell.parts) != 1
+            bad = (sell is None
                    or (sell.dense_parts and len(sell.dense_parts) != 1))
             if bad:
-                if sell is not None and len(sell.parts) != 1:
-                    # surfacing matters: the round-4 retention bench lost
-                    # 18x to a SILENT refusal here (the per-shard chunk
-                    # list exceeded MAX_CHUNKS_PER_CALL at P=1 and the
-                    # solve fell back to the XLA-gather CSR path)
-                    import warnings
-
-                    warnings.warn(
-                        f"partition_sell: shard {s} needs "
-                        f"{sell.n_chunks} chunks > MAX_CHUNKS_PER_CALL — "
-                        "falling back to the (much slower) CSR partition; "
-                        "raise GMRES_TPU_SELL_MAX_CHUNKS or use more "
-                        "shards", stacklevel=2)
                 if is_block and exchange is not None:
                     pack_failed = True
                     break
                 return None
-        nc = sell.parts[0][0]
+        # per-shard snapshot with parts concatenated back into one
+        # slab-sorted chunk list (``_plan_parts`` splits are contiguous
+        # slices, so concatenation restores the full list exactly)
+        slab_full = _cat(sell.slab).astype(np.int32)
+        cnt = np.bincount(slab_full // SLABS_PER_BLOCK,
+                          minlength=n_blocks).astype(np.int64)
         nd = sell.dense_parts[0][0] if sell.dense_parts else 0
         metas.append(SimpleNamespace(
-            n_chunks=nc, n_dense=nd, ndb=np.asarray(sell.dense_data[0]).shape[0]))
+            cnt=cnt, n_dense=nd,
+            ndb=np.asarray(sell.dense_data[0]).shape[0]))
         if s in retain:
             # mutable per-shard snapshot (SELLMatrix is frozen)
             packs[s] = SimpleNamespace(
-                packed=np.asarray(sell.packed[0]),
-                packed_lo=(np.asarray(sell.packed_lo[0]) if sell.packed_lo
+                packed=_cat(sell.packed),
+                packed_lo=(_cat(sell.packed_lo) if sell.packed_lo
                            else np.zeros((0, K, C), np.float32)),
-                bucket=np.asarray(sell.bucket[0]),
-                slab=np.asarray(sell.slab[0]),
+                bucket=_cat(sell.bucket),
+                slab=slab_full,
                 dense_data=np.asarray(sell.dense_data[0], np.float32),
                 dense_lo=(np.asarray(sell.dense_lo[0], np.float32)
                           if sell.dense_lo else None),
@@ -435,51 +511,49 @@ def partition_sell(
                             if sell.dense_parts else None),
                 dense_vidx=(np.asarray(sell.dense_vidx[0])
                             if sell.dense_parts else None),
-                n_chunks=nc,
+                cnt=cnt,
                 n_dense=nd,
             )
         del sell
 
-    # --- pad chunk lists to the shard maximum ---
+    # --- pad chunk lists per PART to the cross-shard per-block maxima ---
+    mx_local = np.zeros(n_blocks, dtype=np.int64)
+    for m in metas:
+        np.maximum(mx_local, m.cnt, out=mx_local)
     if is_block and exchange is not None:
         # combine the padding metadata across processes (each saw only its
-        # owned shards): [max chunks, any dense, max dense chunks, any
-        # shard WITHOUT a dense side, max dense blocks]
-        payload = np.array([
-            max((m.n_chunks for m in metas), default=0),
+        # owned shards): [any dense, max dense chunks, any shard WITHOUT a
+        # dense side, max dense blocks, pack failed] + per-block chunk max
+        payload = np.concatenate([np.array([
             int(any(m.n_dense for m in metas)),
             max((m.n_dense for m in metas), default=0),
             int(any(m.n_dense == 0 for m in metas)),
             max((m.ndb for m in metas), default=1),
             int(pack_failed),
-        ], dtype=np.int64)
+        ], dtype=np.int64), mx_local])
         g = np.asarray(exchange(payload))
-        if g[:, 5].any():
+        if g[:, 4].any():
             return None  # some process's shard refused to pack: all bail
-        max_nc = int(g[:, 0].max())
-        has_dense = bool(g[:, 1].any())
-        g_max_nd = int(g[:, 2].max())
-        g_any_zero_nd = bool(g[:, 3].any())
-        g_max_ndb = int(g[:, 4].max())
+        has_dense = bool(g[:, 0].any())
+        g_max_nd = int(g[:, 1].max())
+        g_any_zero_nd = bool(g[:, 2].any())
+        g_max_ndb = int(g[:, 3].max())
+        mx = g[:, 5:].max(axis=0)
         if has_dense:
-            cov_slab = np.arange(n_blocks, dtype=np.int32) * SLABS_PER_BLOCK
-            for p in packs.values():
-                if not p.n_dense:
-                    p.dense_bucket = np.zeros((n_blocks,), np.int32)
-                    p.dense_slab = cov_slab
-                    p.dense_vidx = np.zeros((n_blocks,), np.int32)
-                    p.n_dense = n_blocks
             max_ndc = max(g_max_nd, n_blocks if g_any_zero_nd else 0)
             max_ndb = g_max_ndb
         else:
             max_ndc, max_ndb = 0, 1
-        return _assemble_partitioned_sell(
-            packs, owned, n_shards, rows_per, n, n_pad, nnz, W, K,
-            n_blocks, max_nc, has_dense, max_ndc, max_ndb, df64, dtype,
-        )
+    else:
+        mx = mx_local
+        has_dense = any(m.n_dense for m in metas)
+        if has_dense:
+            max_ndc = max(m.n_dense if m.n_dense else n_blocks
+                          for m in metas)
+            max_ndb = max(m.ndb for m in metas)
+        else:
+            max_ndc, max_ndb = 0, 1
 
-    max_nc = max(m.n_chunks for m in metas)
-    has_dense = any(m.n_dense for m in metas)
     if has_dense:
         # shards without a dense side need per-block coverage chunks
         # (every output block of the dense call must be visited once so
@@ -491,25 +565,25 @@ def partition_sell(
                 p.dense_slab = cov_slab
                 p.dense_vidx = np.zeros((n_blocks,), np.int32)
                 p.n_dense = n_blocks
-        for m in metas:
-            if not m.n_dense:
-                m.n_dense = n_blocks
-        max_ndc = max(m.n_dense for m in metas)
-        max_ndb = max(m.ndb for m in metas)
-    else:
-        max_ndc, max_ndb = 0, 1
+
+    part_plan = _plan_shard_parts(mx)
+    for p in packs.values():
+        _pad_shard_to_plan(p, part_plan)
     return _assemble_partitioned_sell(
         packs, owned, n_shards, rows_per, n, n_pad, nnz, W, K,
-        n_blocks, max_nc, has_dense, max_ndc, max_ndb, df64, dtype,
+        n_blocks, part_plan, has_dense, max_ndc, max_ndb, df64, dtype,
     )
 
 
 def _assemble_partitioned_sell(packs, owned, n_shards, rows_per, n, n_pad,
-                               nnz, W, K, n_blocks, max_nc, has_dense,
+                               nnz, W, K, n_blocks, part_plan, has_dense,
                                max_ndc, max_ndb, df64, dtype):
-    """Stack the retained per-shard packs (padded to the shared maxima)
-    into a PartitionedSELL — the tail shared by the single-host, per-host
+    """Stack the retained per-shard packs (chunk arrays already padded to
+    the shared part plan by ``_pad_shard_to_plan``) into a
+    PartitionedSELL — the tail shared by the single-host, per-host
     (owned) and per-host-input (RowBlockCSR + exchange) paths."""
+    max_nc = sum(p[0] for p in part_plan)
+
     def finish(pieces, empty_trailing_shape, empty_dtype):
         """Stack (single-host) or wrap as ShardStack (per-host)."""
         if owned is None:
@@ -600,4 +674,5 @@ def _assemble_partitioned_sell(packs, owned, n_shards, rows_per, n, n_pad,
         n_dense_blocks=max_ndb,
         df64=has_lo,
         val_dtype=np.dtype(dtype).name,
+        parts=tuple(part_plan),
     )
