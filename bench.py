@@ -64,9 +64,13 @@ def main():
     ap.add_argument("--rlen", type=int, default=30)
     ap.add_argument("--low-sync", action="store_true", dest="low_sync",
                     help="force the one-reduce ICWY MGS reformulation "
-                         "(fused 2-sweep Pallas path) for orth=mgs; "
-                         "default keeps reference-parity sequential MGS "
-                         "on single device")
+                         "(fused 2-sweep Pallas path) for orth=mgs; the "
+                         "default is auto (on for TPU/distributed, "
+                         "sequential reference-parity MGS on CPU — "
+                         "low_sync_mgs=False forces sequential)")
+    ap.add_argument("--seq-mgs", action="store_true", dest="seq_mgs",
+                    help="force the sequential reference-parity MGS "
+                         "recurrence (low_sync_mgs=False)")
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--orth", default="cgsr")
     ap.add_argument("--prec", default="identity")
@@ -128,6 +132,8 @@ def main():
     )
     if args.low_sync:
         common["low_sync_mgs"] = True
+    elif args.seq_mgs:
+        common["low_sync_mgs"] = False
 
     modes = tuple(m.strip() for m in args.modes.split(",") if m.strip())
     for need in ("baseline", "mixed"):
@@ -161,7 +167,36 @@ def main():
             f"iters={res.total_iters} wall={wall:.3f}s err={err:.3e} "
             f"nnz/s={res.total_iters*nnz/max(wall,1e-9):.3e}")
 
-    t_base = results["baseline"][1]
+    # Pin the fp64 baseline against tunnel/host variance (round-4: the same
+    # config measured 37.6 s and 45.5 s in one campaign, smearing the
+    # headline ratio 36.6x-63.5x): accumulate baseline walls per config key
+    # in a sidecar cache and use the median of the last few runs.  The
+    # current run's own measurement always participates, so a code change
+    # that moves the baseline shows up — stale entries age out of the
+    # 5-deep window.
+    t_base_run = results["baseline"][1]
+    key = (f"{args.matrix}:{args.nx}:{args.beta}:{args.rlen}:{args.tol}:"
+           f"{args.orth}:{args.prec}:{args.jacobi_steps}:{args.max_restarts}")
+    cache_path = "results/baseline_cache.json"
+    try:
+        import os
+
+        cache = {}
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cache = json.load(f)
+        walls = (cache.get(key, []) + [round(t_base_run, 4)])[-5:]
+        cache[key] = walls
+        os.makedirs("results", exist_ok=True)
+        with open(cache_path, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        t_base = sorted(walls)[len(walls) // 2]
+        if len(walls) > 1:
+            log(f"baseline pinned: median {t_base:.3f}s over {len(walls)} "
+                f"runs (this run: {t_base_run:.3f}s; cache: {cache_path})")
+    except Exception as e:  # the cache is an aid, never a failure mode
+        log(f"baseline cache unavailable ({e}); using this run's baseline")
+        t_base = t_base_run
     t_mixed = results["mixed"][1]
     speedup = t_base / t_mixed
     target = 1.3  # BASELINE.json north-star

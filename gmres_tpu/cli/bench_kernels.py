@@ -79,6 +79,11 @@ def main(argv=None) -> int:
     ap.add_argument("--trials", type=int, default=50)
     ap.add_argument("--rand", type=int, default=42)
     ap.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
+    ap.add_argument("--reorder", choices=["rcm"], default=None,
+                    help="apply a bandwidth-reducing RCM permutation before "
+                         "format dispatch — the unlock for scattered "
+                         "patterns SELL packs badly (solve(reorder='rcm') "
+                         "semantics at the kernel level)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -98,6 +103,14 @@ def main(argv=None) -> int:
     from gmres_tpu.ops.spmv import spmv
 
     A64 = make_synth(args.synth) if args.synth and not args.Apath else load_matrix(args.Apath)
+    if args.reorder == "rcm":
+        from gmres_tpu.ops.reorder import permute_symmetric, rcm_permutation
+
+        t0 = time.perf_counter()
+        perm = rcm_permutation(A64)
+        A64 = permute_symmetric(A64, perm)
+        print(f"RCM reorder applied ({time.perf_counter()-t0:.1f}s)",
+              file=sys.stderr)
     n, nnz = A64.n_rows, A64.nnz
     reps = args.trials
     print(f"matrix: n={n:,} nnz={nnz:,}; reps={reps}", file=sys.stderr)

@@ -220,8 +220,11 @@ class GmresConfig:
     # batched psum + a tiny local triangular correction solve per Arnoldi
     # step, orthogonality loss O(eps*kappa) like true MGS.  Tri-state:
     #   None (default)  AUTO — on for distributed solves (where the k+1
-    #                   sequential allreduces are the latency wall), off
-    #                   single-device (exact reference MGS sequence,
+    #                   sequential allreduces are the latency wall) AND
+    #                   single-device TPU (round-4 chip: 0.812 s vs the
+    #                   sequential recurrence's 1.582 s at convdiff@1M,
+    #                   identical history); off on CPU
+    #                   (exact reference MGS sequence,
     #                   Orthogonalization.hpp:91-107 parity)
     #   True            force on everywhere; single-device this rides the
     #                   fused 2-sweep Pallas path (2 basis reads/step vs

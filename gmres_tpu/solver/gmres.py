@@ -184,13 +184,18 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
     S0 = jnp.zeros((m + 1, m + 1), dtype=in_dt) if orthloss else jnp.zeros((1, 1), in_dt)
 
     # One-reduce ICWY MGS (ops/orth.py:mgs_lowsync_step): AUTO-on for
-    # distributed solves, opt-in single-device (cfg.low_sync_mgs=True —
-    # the fused 2-sweep path beats the sequential recurrence's per-row
-    # DMA serialization at bench scale); carry the strictly-lower
-    # triangular basis-coupling matrix L, built one row per step.
+    # distributed solves AND single-device TPU (round-4 chip: 0.812 s vs
+    # the sequential recurrence's 1.582 s at convdiff@1M, identical
+    # 26/780 history — the fused 2-sweep path beats the per-row DMA
+    # serialization; parity pinned by
+    # test_single_device_lowsync_solve_matches_sequential).  Sequential
+    # remains the reference-parity escape hatch (low_sync_mgs=False);
+    # carry the strictly-lower triangular basis-coupling matrix L,
+    # built one row per step.
     lowsync = cfg.orth.value == "mgs" and (
         cfg.low_sync_mgs is True
-        or (cfg.low_sync_mgs is None and axis is not None))
+        or (cfg.low_sync_mgs is None
+            and (axis is not None or jax.default_backend() == "tpu")))
     acc_dt = _f64 if in_dt == jnp.float64 else jnp.float32
 
     carry0 = dict(
@@ -304,9 +309,13 @@ def _inner_cycle_df64(cfg: GmresConfig, A_in, M, w0h, w0l, beta, restart_tol,
     axis = cfg.axis_name
     m = cfg.m
     orthloss = cfg.policy == RestartPolicy.LOST_ORTHOGONALITY
+    # same auto-on rule as the f32 cycle above: distributed OR
+    # single-device TPU; low_sync_mgs=False restores the sequential
+    # reference-parity recurrence
     lowsync = cfg.orth.value == "mgs" and (
         cfg.low_sync_mgs is True
-        or (cfg.low_sync_mgs is None and axis is not None))
+        or (cfg.low_sync_mgs is None
+            and (axis is not None or jax.default_backend() == "tpu")))
     unroll_all = (
         cfg.policy == RestartPolicy.FIXED
         or jax.default_backend() == "tpu"

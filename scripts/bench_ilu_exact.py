@@ -81,6 +81,51 @@ def main():
           f"restarts={res.restarts} iters={res.total_iters} "
           f"conv={res.converged} err={err:.2e}", flush=True)
 
+    # exact trisolve vs ILU-Jacobi(3): the reference's key negative result
+    # is that exact-trisolve ILU is a net SLOWDOWN for the mixed scheme
+    # (0.91x MGS) while ILU-Jacobi wins (1.03-1.13x) —
+    # plots-and-data.ipynb:723,899.  Mirror the comparison on TPU.
+    cfg_j = cfg.with_(precond="ilu_jacobi", jacobi_steps=3)
+    res_j = solve(A, b, cfg_j)  # warm
+    t0 = time.perf_counter()
+    res_j = solve(A, b, cfg_j)
+    _ = float(np.asarray(res_j.x[:4]).sum())
+    wall_j = time.perf_counter() - t0
+    print(f"prec=ilu_jacobi(3) mixed solve: warm={wall_j:.2f}s "
+          f"restarts={res_j.restarts} iters={res_j.total_iters} "
+          f"conv={res_j.converged}", flush=True)
+    print(f"exact-vs-jacobi wall ratio: {wall2/wall_j:.3f}x "
+          f"(reference: exact costs ~1.13-1.24x more per ipynb:723,899)",
+          flush=True)
+
+    # unstructured factor: the level-scheduled path (precond/level_ilu.py,
+    # the csrsv2 analog) on a jittered-stencil pattern DIA refuses
+    from gmres_tpu.io.synth import unstructured_mesh
+
+    Au = unstructured_mesh(512 * 512, run=8)
+    t0 = time.perf_counter()
+    Mu = build_ilu_exact(Au, jnp.float32)
+    t_build = time.perf_counter() - t0
+    print(f"unstructured exact ILU: {type(Mu).__name__} "
+          f"(built {t_build:.1f}s)", flush=True)
+    wu = rng.standard_normal(Au.n_rows).astype(np.float32)
+    Lu = sp.identity(Au.n_rows, format="csr") + build_ilu_jacobi(
+        Au, jnp.float32, steps=1).lower.to_scipy().astype(np.float64)
+    Uu = build_ilu_jacobi(
+        Au, jnp.float32, steps=1).upper.to_scipy().astype(np.float64).tocsr()
+    want_u = spla.spsolve_triangular(
+        Uu, spla.spsolve_triangular(Lu, wu.astype(np.float64), lower=True),
+        lower=False,
+    )
+    got_u = np.asarray(apply_preconditioner(Mu, jnp.asarray(wu)))  # compile
+    t0 = time.perf_counter()
+    got_u = np.asarray(apply_preconditioner(Mu, jnp.asarray(wu + 1e-9)))
+    t_apply_u = time.perf_counter() - t0
+    rel_u = np.linalg.norm(got_u - want_u) / np.linalg.norm(want_u)
+    print(f"unstructured exact trisolve apply: {t_apply_u*1e3:.1f} ms "
+          f"rel err vs host oracle: {rel_u:.2e}", flush=True)
+    assert rel_u < 2e-4, rel_u
+
 
 if __name__ == "__main__":
     main()
