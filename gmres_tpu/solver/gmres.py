@@ -667,19 +667,21 @@ def multi_cycle_impl(cfg: GmresConfig, chunk: int, A_out, A_in, M, b, x,
 _multi_cycle = partial(jax.jit, static_argnums=(0, 1))(multi_cycle_impl)
 
 
-@partial(jax.jit, static_argnames=("in_dt", "a_norm_static"))
-def _setup_norms(M, b, vals, in_dt, a_norm_static=None):
+@partial(jax.jit, static_argnames=("in_dt", "has_a_norm"))
+def _setup_norms(M, b, vals, in_dt, a_norm=None, *, has_a_norm=False):
     """||b||, ||M^{-1} b||, ||A||_F in one device dispatch (each separate
     call costs a full round trip on remote-device transports).
 
-    ``a_norm_static``: pack-time ||A||_F carried as operator metadata
-    (SELL packs) — passing it avoids materializing the padded slot-value
-    view just to take one norm (round-3 VERDICT item 1a: a 4 GB HLO temp
-    at n=1M); ``vals`` is then an empty placeholder."""
+    ``a_norm``: pack-time ||A||_F carried as operator metadata (SELL
+    packs) — passing it avoids materializing the padded slot-value view
+    just to take one norm (round-3 VERDICT item 1a: a 4 GB HLO temp at
+    n=1M); ``vals`` is then an empty placeholder.  It rides as a TRACED
+    0-d value (only the has/has-not flag is static) so a new matrix does
+    not retrace this dispatch (ADVICE round-4 low)."""
     b_norm = nrm2(b).astype(_f64)
     minvb_norm = nrm2(typesafe_apply(M, b.astype(in_dt))).astype(_f64)
-    if a_norm_static is not None:
-        a_norm = jnp.asarray(a_norm_static, dtype=_f64)
+    if has_a_norm:
+        a_norm = jnp.asarray(a_norm, dtype=_f64)
     else:
         a_norm = nrm2(vals).astype(_f64)
     return b_norm, minvb_norm, a_norm
@@ -1120,10 +1122,11 @@ def solve(
     # ||A||_F is the Frobenius norm of the INNER-dtype values
     # (gmres.cpp:168 computes it from A_single); SELL operators carry it
     # as pack-time metadata instead of a padded slot-array norm
-    a_norm_static = getattr(A_in, "frob_norm", None)
+    a_norm_meta = getattr(A_in, "frob_norm", None)
     b_norm, minvb_norm, a_norm = _setup_norms(
-        M, b, b[:0] if a_norm_static is not None else A_in.vals, in_dt,
-        a_norm_static)
+        M, b, b[:0] if a_norm_meta is not None else A_in.vals, in_dt,
+        jnp.float64(a_norm_meta if a_norm_meta is not None else 0.0),
+        has_a_norm=a_norm_meta is not None)
 
     # double-float outer path: carry b and x as (hi, lo) fp32 pairs so the
     # cycle never executes an emulated-fp64 array op (restart_cycle_impl)

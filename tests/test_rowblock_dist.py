@@ -221,13 +221,25 @@ def test_process_row_range_contiguous():
         process_row_range(mesh, 100, owned=[0, 2])
 
 
-def test_partition_sell_block_matches_global():
+@pytest.mark.parametrize("max_chunks", [None, 32])
+def test_partition_sell_block_matches_global(max_chunks, monkeypatch):
+    """Per-host-input packs must equal the global pack byte-for-byte —
+    including under a multi-part plan (max_chunks=32 forces the round-5
+    static part split; the padding-metadata exchange then carries the
+    per-block chunk-count vector)."""
+    import gmres_tpu.ops.sell as sm
     from gmres_tpu.io.synth import unstructured_mesh
     from gmres_tpu.parallel.sell_dist import partition_sell, sell_rows_per
 
-    A = unstructured_mesh(4096, run=3, seed=2)
+    if max_chunks is not None:
+        monkeypatch.setattr(sm, "MAX_CHUNKS_PER_CALL", max_chunks)
+    # multi-part needs >1 output block per shard (parts cut at block
+    # boundaries): 16384 rows / 4 shards = 4 blocks each
+    A = unstructured_mesh(16384 if max_chunks else 4096, run=3, seed=2)
     full = partition_sell(A, 4)
     assert full is not None
+    if max_chunks is not None:
+        assert len(full.parts) > 1
 
     # per-process blocks on the SELL shard grid
     r = sell_rows_per(A.n_rows, 4)
@@ -267,6 +279,7 @@ def test_partition_sell_block_matches_global():
         assert part is not None
         assert (part.W, part.K) == (full.W, full.K)
         assert part.n_chunks == full.n_chunks
+        assert part.parts == full.parts
         assert part.n_dense_chunks == full.n_dense_chunks
         for s in shards:
             np.testing.assert_array_equal(part.packed.pieces[s],
