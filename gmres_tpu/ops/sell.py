@@ -356,6 +356,26 @@ def _chunk_sb_max(rows, cols, n_cols, W):
     return sb_max
 
 
+def block_layer_counts(rows, ci, n_cols, W, K, n_blocks):
+    """Real (pre-padding) ELL chunk count per output block for a fixed
+    (W, K): each (slab, bucket) pair contributes ceil(max_rb/K) layer
+    chunks to its block.  Ignores the dense-block classification (an
+    upper bound — dense pairs only remove chunks), which is fine for its
+    consumer: the distributed partitioner's cross-shard auto-G pick
+    (``parallel/sell_dist.partition_sell``)."""
+    nb = np.int64(max(1, -(-n_cols // W)))
+    bucket = ci // W
+    rb_starts, rb_counts, _ = _rb_groups(rows, bucket, nb)
+    rb_slab = rows[rb_starts] // C
+    rb_bucket = bucket[rb_starts]
+    sb_uniq, _, sb_max, _ = _sb_groups(rb_slab, rb_bucket, rb_counts, nb)
+    layers = -(-sb_max // K)
+    blk = (sb_uniq // nb) // SLABS_PER_BLOCK
+    out = np.zeros(n_blocks, np.int64)
+    np.add.at(out, blk, layers)
+    return out
+
+
 def _chunk_stats(rows, cols, n_cols, W, K):
     """Number of chunks for candidate (W, K): a (slab, bucket) pair needs
     ``ceil(max_count_over_rows / K)`` layers, and every layer is a chunk."""

@@ -13,9 +13,11 @@ item 3).  This module keeps the SELL Pallas fast path under ``shard_map``:
   block (``rows_per_shard`` = a multiple of ``ROWS_PER_BLOCK``) with the
   SAME globally-autotuned (W, K), so per-shard kernels share one compiled
   program;
-- per-shard chunk counts are padded to the max across shards with inert
-  dummy chunks (zero values, existing output block), giving every leaf a
-  uniform ``(P, ...)`` stacked shape that shards over the mesh axis;
+- per-shard chunk lists are split at shared static part boundaries
+  (cross-shard per-block maxima, <= MAX_CHUNKS_PER_CALL per part) and
+  padded per part with inert dummy chunks (zero values, existing output
+  block), giving every leaf a uniform ``(P, ...)`` stacked shape that
+  shards over the mesh axis;
 - inside ``shard_map`` the local ``SELLMatrix`` is rebuilt from the
   leading-dim-1 slices and the existing kernels run unchanged: the inner
   SpMV all-gathers the operand (``ops/spmv.py``), the fp64 outer residual
@@ -32,6 +34,8 @@ from types import SimpleNamespace
 import jax
 import numpy as np
 
+import os
+
 from gmres_tpu.ops.sell import (
     C,
     G_BATCH,
@@ -39,6 +43,7 @@ from gmres_tpu.ops.sell import (
     SLABS_PER_BLOCK,
     SELLMatrix,
     autotune_wk,
+    block_layer_counts,
     sell_from_csr,
 )
 from gmres_tpu.sparse import CSRMatrix
@@ -51,7 +56,7 @@ from gmres_tpu.sparse import CSRMatrix
                  "dense_vidx"),
     meta_fields=("n_shards", "rows_per_shard", "n_rows", "n_cols", "nnz",
                  "W", "K", "n_buckets", "n_chunks", "n_dense_chunks",
-                 "n_dense_blocks", "df64", "val_dtype", "parts"),
+                 "n_dense_blocks", "df64", "val_dtype", "parts", "G"),
 )
 @dataclasses.dataclass(frozen=True)
 class PartitionedSELL:
@@ -91,7 +96,7 @@ class PartitionedSELL:
     W: int
     K: int
     n_buckets: int
-    n_chunks: int          # per shard TOTAL over parts, multiple of G_BATCH
+    n_chunks: int          # per shard TOTAL over parts, multiple of G
     n_dense_chunks: int    # per shard (0 = no dense side anywhere)
     n_dense_blocks: int    # per shard, incl. the shared zero block
     df64: bool             # lo sidecars present (df64 outer OR fp64 values)
@@ -99,6 +104,10 @@ class PartitionedSELL:
     # static per-shard part plan ((n_chunks_p, first_block, n_blocks_p), ...)
     # — default of () means one part spanning all blocks (legacy packs)
     parts: tuple = ()
+    # chunks per f32-kernel grid step, shared by every shard (resolved by
+    # the cross-shard auto-G pick in partition_sell; default = the legacy
+    # process-wide pin)
+    G: int = G_BATCH
 
     @property
     def dtype(self):
@@ -166,7 +175,7 @@ class PartitionedSELL:
             n_rows_pad=self.rows_per_shard,
             n_buckets=self.n_buckets,
             val_dtype=self.val_dtype,
-            G=G_BATCH,
+            G=self.G,
         )
 
 
@@ -205,16 +214,16 @@ def _csr_rows(rp, ci, v, lo, hi, n_rows_out, n_cols):
     )
 
 
-def _empty_pack(n_blocks, W, K, dtype):
-    """Pack of an all-zero row block: G_BATCH coverage chunks per output
+def _empty_pack(n_blocks, W, K, dtype, G):
+    """Pack of an all-zero row block: G coverage chunks per output
     block (the kernel zero-initializes a block on first visit)."""
-    nc = n_blocks * G_BATCH
+    nc = n_blocks * G
     return SimpleNamespace(
         packed=(np.zeros((nc, 2 * K, C), dtype=np.float32),),
         packed_lo=(np.zeros((nc, K, C), dtype=np.float32),),
         bucket=(np.zeros((nc,), dtype=np.int32),),
         slab=(np.repeat(
-            np.arange(n_blocks, dtype=np.int32) * SLABS_PER_BLOCK, G_BATCH),),
+            np.arange(n_blocks, dtype=np.int32) * SLABS_PER_BLOCK, G),),
         dense_data=(np.zeros((1, W, C), dtype=np.float32),),
         dense_lo=(np.zeros((1, W, C), dtype=np.float32),),
         dense_bucket=(), dense_slab=(), dense_vidx=(),
@@ -261,20 +270,20 @@ def _plan_shard_parts(mx):
     return tuple(parts)
 
 
-def _pad_shard_to_plan(p, part_plan):
+def _pad_shard_to_plan(p, part_plan, G):
     """Rewrite one shard snapshot's chunk arrays to the shared part plan:
     per part, slice the shard's chunks for that block range (the list is
     slab-sorted, so it is contiguous) and pad to the part capacity with
     inert repeats of the part's last chunk (zero values, existing block —
     never triggers a block re-zero and lands in complete G-groups since
-    both counts are multiples of G_BATCH)."""
+    both counts are multiples of the shared G)."""
     pref = np.zeros(p.cnt.shape[0] + 1, dtype=np.int64)
     np.cumsum(p.cnt, out=pref[1:])
     pk, plo, bk, sl = [], [], [], []
     for (cap, blo, nb) in part_plan:
         a, b = int(pref[blo]), int(pref[blo + nb])
         pad = cap - (b - a)
-        assert pad >= 0 and pad % G_BATCH == 0, (cap, b - a)
+        assert pad >= 0 and pad % G == 0, (cap, b - a)
         pk.append(_pad_chunks((p.packed[a:b],), cap))
         if p.packed_lo.shape[0]:
             plo.append(_pad_chunks((p.packed_lo[a:b],), cap))
@@ -441,6 +450,54 @@ def partition_sell(
                 return None
             W, K = tuned
 
+    # --- resolve the shared G (chunks per f32-kernel grid step) ---
+    # The env override wins (G_BATCH reads GMRES_TPU_SELL_G); otherwise
+    # pick the largest of {16, 8, 4} whose exact dummy padding over the
+    # REAL cross-shard per-(shard, block) chunk counts stays within 2% —
+    # the same rule as the single-device auto-pick (ops/sell._auto_g), so
+    # distributed packs no longer forfeit the measured G=16 win to the
+    # legacy G=4 pin (round-4 A/B: 2.79 vs 2.44 Gnnz/s at mesh3d@1M).
+    if os.environ.get("GMRES_TPU_SELL_G"):
+        G_part = G_BATCH
+    else:
+        def _pad_stats(counts):
+            return (int(counts.sum()),
+                    {g: int(np.where(counts == 0, g, (-counts) % g).sum())
+                     for g in (16, 8)})
+
+        if owned is None:
+            # shards are contiguous ROWS_PER_BLOCK-aligned row ranges, so
+            # the global per-block count vector IS the per-shard vectors
+            # concatenated
+            g_total, g_pads = _pad_stats(block_layer_counts(
+                rows, ci, n_pad, W, K, n_shards * n_blocks))
+        else:
+            g_total, g_pads = 0, {16: 0, 8: 0}
+            for s in (owned if is_block else range(n_shards)):
+                loc = local_csr(s)
+                if loc is None:
+                    # empty shard: counts are all zero -> each block pads
+                    # a full coverage group of g
+                    for g in g_pads:
+                        g_pads[g] += g * n_blocks
+                    continue
+                t, p = _pad_stats(block_layer_counts(
+                    loc._rows, loc.col_idx, n_pad, W, K, n_blocks))
+                g_total += t
+                for g in g_pads:
+                    g_pads[g] += p[g]
+            if is_block and exchange is not None:
+                partial_ = np.array(
+                    [g_total, g_pads[16], g_pads[8]], np.int64)
+                summed = np.asarray(exchange(partial_)).sum(axis=0)
+                g_total = int(summed[0])
+                g_pads = {16: int(summed[1]), 8: int(summed[2])}
+        G_part = 4
+        for g in (16, 8):
+            if g_pads[g] * 50 <= g_total:
+                G_part = g
+                break
+
     def _cat(arrs):
         arrs = [np.asarray(a) for a in arrs]
         return arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
@@ -462,21 +519,21 @@ def partition_sell(
         _csr_cache.pop(s, None)  # pack is the last consumer of this shard
         if local is None:
             if s in retain:
-                sell = _empty_pack(n_blocks, W, K, np.dtype(dtype))
+                sell = _empty_pack(n_blocks, W, K, np.dtype(dtype), G_part)
             else:
                 metas.append(SimpleNamespace(
-                    cnt=np.full(n_blocks, G_BATCH, np.int64),
+                    cnt=np.full(n_blocks, G_part, np.int64),
                     n_dense=0, ndb=1))
                 continue
         else:
-            # G pinned to the process-wide G_BATCH: every shard of a
+            # G pinned to the partition-wide G_part: every shard of a
             # PartitionedSELL (including _empty_pack's coverage chunks)
             # must share one chunk layout.  A shard whose chunk list
             # exceeds MAX_CHUNKS_PER_CALL is FINE now: the part plan below
             # splits every shard at the same static block boundaries
             # (round-4 VERDICT item 1 — the single-part refusal cost 18x).
             sell = sell_from_csr(local, W=W, K=K, df64=df64, dtype=dtype,
-                                 host_arrays=True, G=G_BATCH)
+                                 host_arrays=True, G=G_part)
             bad = (sell is None
                    or (sell.dense_parts and len(sell.dense_parts) != 1))
             if bad:
@@ -568,16 +625,17 @@ def partition_sell(
 
     part_plan = _plan_shard_parts(mx)
     for p in packs.values():
-        _pad_shard_to_plan(p, part_plan)
+        _pad_shard_to_plan(p, part_plan, G_part)
     return _assemble_partitioned_sell(
         packs, owned, n_shards, rows_per, n, n_pad, nnz, W, K,
         n_blocks, part_plan, has_dense, max_ndc, max_ndb, df64, dtype,
+        G_part,
     )
 
 
 def _assemble_partitioned_sell(packs, owned, n_shards, rows_per, n, n_pad,
                                nnz, W, K, n_blocks, part_plan, has_dense,
-                               max_ndc, max_ndb, df64, dtype):
+                               max_ndc, max_ndb, df64, dtype, G_part=G_BATCH):
     """Stack the retained per-shard packs (chunk arrays already padded to
     the shared part plan by ``_pad_shard_to_plan``) into a
     PartitionedSELL — the tail shared by the single-host, per-host
@@ -675,4 +733,5 @@ def _assemble_partitioned_sell(packs, owned, n_shards, rows_per, n, n_pad,
         df64=has_lo,
         val_dtype=np.dtype(dtype).name,
         parts=tuple(part_plan),
+        G=G_part,
     )

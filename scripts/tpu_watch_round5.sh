@@ -1,0 +1,44 @@
+#!/bin/bash
+# Watch for the TPU tunnel to come back and run the round-3 hardware
+# campaign as soon as it does.  Probes every PROBE_INTERVAL seconds; the
+# campaign itself is resumable (each step skips once its output carries
+# the success marker), so this watcher can be restarted freely.
+set -u
+cd "$(dirname "$0")/.."
+PROBE_INTERVAL=${PROBE_INTERVAL:-300}
+DEADLINE=${DEADLINE:-$(($(date +%s) + 11 * 3600))}
+
+probe() {
+  timeout 180 python -c "
+import jax, numpy as np, jax.numpy as jnp
+x = jnp.ones((256,256), jnp.float32)
+assert float(np.asarray((x@x).sum())) == 256**3
+print('tpu ok:', jax.devices())
+" >/dev/null 2>&1
+}
+
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  if probe; then
+    echo "$(date -u +%FT%TZ) tunnel up; starting campaign"
+    bash scripts/round5_hw_campaign.sh
+    rc=$?
+    echo "$(date -u +%FT%TZ) campaign exited rc=$rc"
+    # rc=0 means every step at least attempted; if all steps carry the
+    # OK marker we are done, otherwise loop (tunnel may have dropped
+    # mid-campaign and steps without the marker will re-run)
+    if [ "$rc" -eq 0 ] && ! grep -L "CAMPAIGN-STEP-OK" results/round5/*.txt 2>/dev/null | grep -q .; then
+      echo "$(date -u +%FT%TZ) all steps complete"
+      git add results/round5 results/baseline_cache.json 2>/dev/null
+      git commit -q -m "Round-5 hardware campaign artifacts
+
+Captured automatically by the tunnel watcher.
+
+No-Verification-Needed: measurement artifacts only" || true
+      exit 0
+    fi
+  else
+    echo "$(date -u +%FT%TZ) tunnel down; retry in ${PROBE_INTERVAL}s"
+  fi
+  sleep "$PROBE_INTERVAL"
+done
+echo "$(date -u +%FT%TZ) deadline reached"
