@@ -24,6 +24,23 @@ import jax.numpy as jnp
 # bit-IEEE XLA emulation everywhere (round-4 VERDICT weak item 5).
 _STRICT_F64 = bool(os.environ.get("GMRES_TPU_STRICT_F64"))
 _DF64_DOT_MIN_N = 64 * 1024
+_FAST_DOT_OFF = False
+
+
+class no_df64_fast_dot:
+    """Context manager disabling the Pallas fast path while tracing code
+    that will be vmapped (solve_batched): a pallas_call under vmap is not
+    a supported/profiled combination here.  Trace-time state — the flag
+    bakes into whatever jit traces inside the block."""
+
+    def __enter__(self):
+        global _FAST_DOT_OFF
+        self._old = _FAST_DOT_OFF
+        _FAST_DOT_OFF = True
+
+    def __exit__(self, *exc):
+        global _FAST_DOT_OFF
+        _FAST_DOT_OFF = self._old
 
 
 def _df64_dot_fast(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -42,6 +59,7 @@ def _df64_dot_fast(x: jax.Array, y: jax.Array) -> jax.Array:
 def _use_df64_dot(x, y) -> bool:
     return (
         not _STRICT_F64
+        and not _FAST_DOT_OFF
         and x.dtype == jnp.float64
         and y.dtype == jnp.float64
         and x.ndim == 1

@@ -98,3 +98,6 @@ step condest_mesh3d 3600 python -u -m gmres_tpu.cli.condest_cli \
 
 echo "campaign sweep complete; artifacts in $OUT"
 grep -l "CAMPAIGN-STEP-FAILED" "$OUT"/*.txt 2>/dev/null || echo "no failures"
+
+# 11. batched multi-RHS amortization decomposition (weak item 8)
+step bench_batched_quant 2400 python -u scripts/bench_batched_quant.py
