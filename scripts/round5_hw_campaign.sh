@@ -38,7 +38,7 @@ step() {  # step <name> <timeout-s> <cmd...>
 }
 
 # 0. fail fast if the tunnel is down (do not clobber existing results)
-if ! timeout 180 python -c "
+if ! timeout 900 python -c "
 import jax, numpy as np, jax.numpy as jnp
 x = jnp.ones((256,256), jnp.float32)
 assert float(np.asarray((x@x).sum())) == 256**3

@@ -9,7 +9,7 @@ PROBE_INTERVAL=${PROBE_INTERVAL:-300}
 DEADLINE=${DEADLINE:-$(($(date +%s) + 11 * 3600))}
 
 probe() {
-  timeout 180 python -c "
+  timeout 900 python -c "
 import jax, numpy as np, jax.numpy as jnp
 x = jnp.ones((256,256), jnp.float32)
 assert float(np.asarray((x@x).sum())) == 256**3
