@@ -92,9 +92,9 @@ step kernels_convdiff 2400 python -u -m gmres_tpu.cli.bench_kernels \
 
 # 10. condest on chip (reference: plots-and-data.ipynb cell-1 table)
 step condest_convdiff 3600 python -u -m gmres_tpu.cli.condest_cli \
-  --synth convdiff:1024
+  --synth convdiff:1024 --max-iters 20000
 step condest_mesh3d 3600 python -u -m gmres_tpu.cli.condest_cli \
-  --synth mesh3d:262144
+  --synth mesh3d:262144 --max-iters 20000
 
 echo "campaign sweep complete; artifacts in $OUT"
 grep -l "CAMPAIGN-STEP-FAILED" "$OUT"/*.txt 2>/dev/null || echo "no failures"
