@@ -192,3 +192,29 @@ def test_solve_distributed_sell_matches_single_device():
     res_s = solve(A, b, cfg, record_history=True)
     assert res_d.converged and res_s.converged
     assert abs(res_d.restarts - res_s.restarts) <= 1
+
+
+def test_plan_shard_parts_edges(monkeypatch):
+    """Part planner edges: budget cuts at block boundaries, a single
+    over-budget block gets its own part, totals always preserved."""
+    import numpy as np
+
+    import gmres_tpu.ops.sell as sm
+    from gmres_tpu.parallel.sell_dist import _plan_shard_parts
+
+    monkeypatch.setattr(sm, "MAX_CHUNKS_PER_CALL", 100)
+    # uniform: 10 blocks x 40 chunks -> parts of 2 blocks (80 <= 100)
+    plan = _plan_shard_parts(np.full(10, 40, np.int64))
+    assert sum(p[0] for p in plan) == 400
+    assert all(p[0] <= 100 for p in plan)
+    assert plan[0][1] == 0 and plan[-1][1] + plan[-1][2] == 10
+    for a, b in zip(plan[:-1], plan[1:]):
+        assert a[1] + a[2] == b[1]
+    # one block alone exceeds the budget: it still gets exactly one part
+    mx = np.array([40, 250, 40], np.int64)
+    plan = _plan_shard_parts(mx)
+    assert sum(p[0] for p in plan) == 330
+    assert any(p[0] == 250 and p[2] == 1 for p in plan)
+    # all-zero (fully empty partition): one part covering everything
+    plan = _plan_shard_parts(np.zeros(4, np.int64))
+    assert plan == ((0, 0, 4),)
