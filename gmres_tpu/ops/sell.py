@@ -72,6 +72,13 @@ _COST_DEFAULTS = {
     "fixed_ns": 0.0,            # per-chunk pipeline residual (see above)
     "ns_per_lane": 0.7388,      # densify + matvec weight stream, per W lane
     "ns_per_slot_byte": 0.0292,  # slot DMA, per byte of (2K, C) f32
+    # VPU densify roofline term: the compare-densify executes ~3*K*W*C
+    # lane-ops per chunk, so the true per-chunk compute cost scales with
+    # the K*W PRODUCT — a term the round-4 (lane + slot-byte) fit cannot
+    # express (it made W=128/K=4 look slower than W=256/K=8 when the
+    # roofline says the opposite; BASELINE.md round-5 roofline section).
+    # 0 keeps the round-4 additive model until the W=128 A/B lands.
+    "ns_per_lane_slot": 0.0,    # per (K*W) unit, max()'d against the DMA
 }
 _COST_CACHE = None
 
@@ -446,9 +453,14 @@ def autotune_wk(rows, ci, n_cols, nnz, W=None, K=None,
                 # across processes (same candidate order everywhere)
                 n_chunks = int(counts_exchange(n_chunks))
             slot_bytes = 2 * Kc * C * 4
+            # compute (VPU densify, ~K*W) and slot DMA overlap under the
+            # pipeline: the binding constraint is their max, plus the
+            # legacy additive terms (ns_per_lane_slot=0 reproduces the
+            # round-4 model exactly)
+            vpu = cm.get("ns_per_lane_slot", 0.0) * Kc * Wc
             cost = n_chunks * (
                 cm["fixed_ns"] + cm["ns_per_lane"] * Wc
-                + cm["ns_per_slot_byte"] * slot_bytes
+                + max(vpu, cm["ns_per_slot_byte"] * slot_bytes)
             )
             if best is None or cost < best[0]:
                 best = (cost, Wc, Kc)
