@@ -17,6 +17,10 @@ cd "$(dirname "$0")/.."
 # PREPEND the repo root: overwriting PYTHONPATH would drop the host's
 # sitecustomize dir (/root/.axon_site) that registers the TPU tunnel backend
 export PYTHONPATH=".${PYTHONPATH:+:$PYTHONPATH}"
+# persistent XLA compilation cache: every step is a fresh process, and
+# remote compiles through the tunnel dominated step wall time without it
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
 OUT=results/round5
 mkdir -p "$OUT"
 
