@@ -24,6 +24,7 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=2
 OUT=results/round5
 mkdir -p "$OUT"
 
+CONSEC_TIMEOUTS=0
 step() {  # step <name> <timeout-s> <cmd...>
   local name="$1" tmo="$2"; shift 2
   local log="$OUT/$name.txt"
@@ -35,9 +36,23 @@ step() {  # step <name> <timeout-s> <cmd...>
   if timeout "$tmo" "$@" >"$log" 2>&1; then
     echo "CAMPAIGN-STEP-OK" >>"$log"
     echo "== $name: ok"
+    CONSEC_TIMEOUTS=0
   else
-    echo "CAMPAIGN-STEP-FAILED rc=$?" >>"$log"
-    echo "== $name: FAILED (see $log)"
+    local rc=$?
+    echo "CAMPAIGN-STEP-FAILED rc=$rc" >>"$log"
+    echo "== $name: FAILED rc=$rc (see $log)"
+    if [ "$rc" -eq 124 ]; then
+      CONSEC_TIMEOUTS=$((CONSEC_TIMEOUTS + 1))
+      if [ "$CONSEC_TIMEOUTS" -ge 2 ]; then
+        # two timeouts in a row = the tunnel is wedged; bail so the
+        # watcher re-probes and resumes instead of burning every
+        # remaining step timeout (steps without OK markers re-run)
+        echo "== aborting: $CONSEC_TIMEOUTS consecutive step timeouts"
+        exit 1
+      fi
+    else
+      CONSEC_TIMEOUTS=0
+    fi
   fi
 }
 
