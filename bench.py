@@ -175,8 +175,12 @@ def main():
     # that moves the baseline shows up — stale entries age out of the
     # 5-deep window.
     t_base_run = results["baseline"][1]
+    # every flag that changes the BASELINE solve must be in the key:
+    # round-5 caught --seq-mgs and --orth mgs sharing one entry (the
+    # 34.8 s lowsync-fp64 baseline polluting the sequential run's median)
     key = (f"{args.matrix}:{args.nx}:{args.beta}:{args.rlen}:{args.tol}:"
-           f"{args.orth}:{args.prec}:{args.jacobi_steps}:{args.max_restarts}")
+           f"{args.orth}:{args.prec}:{args.jacobi_steps}:{args.max_restarts}:"
+           f"ls{int(args.low_sync)}:sq{int(args.seq_mgs)}")
     cache_path = "results/baseline_cache.json"
     try:
         import os

@@ -61,6 +61,12 @@ def device_loop_op(fn, reps: int):
     return run
 
 
+# Per-execution device-time budget: the v5e worker kills any single XLA
+# execution past ~60 s (probe_csr_fault.py / probe_exec_watchdog.py);
+# stay far under it so tunnel variance can't push a measurement over.
+MAX_DEVICE_SECONDS = 20.0
+
+
 def time_op(run, args, reps: int, warmup: int = 1) -> float:
     import numpy as np
 
@@ -147,12 +153,14 @@ def main(argv=None) -> int:
                             ("bf16", jnp.bfloat16)):
             if fmt_name == "sell" and dt != jnp.float32:
                 continue
-            # >16M-nnz CSR on TPU rides ops/spmv.py's chunked gather gate
-            # (one >16M-element gather reproducibly faulted the v5e worker
-            # in rounds 2-4 and was SKIPPED here; the gate splits it into
-            # <=8M-nnz segment-sums — VERDICT round-4 item 3: measure or
-            # refuse cleanly, never crash).  The try/except below still
-            # records a failure without killing the bench.
+            # The v5e worker kills any SINGLE XLA execution running past
+            # ~60 s (round-5 probes: a 25M-nnz f64 gather+segment-sum is
+            # fine one-shot OR chunked, but 50 of them in one fori loop
+            # fault the worker — scripts/probe_csr_fault.py.  Rounds 2-4
+            # misattributed this to gather SIZE).  Time one rep first and
+            # cap the in-loop rep count so one execution stays well under
+            # the limit; slow paths (XLA csr f64, ~1.5 s/rep at 25M nnz)
+            # then measure over fewer in-loop reps instead of crashing.
             A = jax.device_put(A0.astype(dt))
             xd = x.astype(dt)
             # A rides as a jit ARGUMENT: closing over it would bake the
@@ -161,9 +169,20 @@ def main(argv=None) -> int:
             # loop would copy it per iteration.  The 0.125 scale keeps the
             # chained values from overflowing (rho(A)^reps) and fuses into
             # the SpMV epilogue.
-            run = device_loop_op(lambda a, v: spmv(a, v) * dt(0.125), reps)
+            step_fn = lambda a, v: spmv(a, v) * dt(0.125)
             try:
-                t = time_op(run, (A, xd), reps)
+                t1 = time_op(device_loop_op(step_fn, 1), (A, xd), 1)
+                reps_eff = max(1, min(reps, int(MAX_DEVICE_SECONDS / max(t1, 1e-9))))
+                if reps_eff >= 2:
+                    run = device_loop_op(step_fn, reps_eff)
+                    t = time_op(run, (A, xd), reps_eff)
+                else:
+                    t = t1
+                    reps_eff = 1
+                if reps_eff < reps:
+                    print(f"  ({fmt_name} {dt_name}: {reps_eff} in-loop reps"
+                          f" — {t1:.2f}s/rep vs the ~60s per-execution"
+                          f" worker limit)", file=sys.stderr)
             except Exception as e:  # TPU worker faults on some XLA paths
                 print(f"spmv {fmt_name} {dt_name}: FAILED "
                       f"({type(e).__name__}: {str(e)[:120]})", file=sys.stderr)
@@ -181,10 +200,15 @@ def main(argv=None) -> int:
         y = jax.device_put((x * 0.5).astype(dt))
 
         # stationary operands are closed over (jit constants), only the
-        # evolving value is carried — a carried pytree copies per iteration
+        # evolving value is carried — a carried pytree copies per iteration.
+        # ``blas.dot`` is what the solver calls: on TPU fp64 inputs at
+        # n >= 64K it rides the streaming df64 pair kernel (round-5; the
+        # raw XLA fp64 dot is software-emulated at ~2.7 GB/s and is
+        # reported separately as the strict-IEEE reference row).
+        from gmres_tpu.ops.blas import dot as blas_dot
 
         def dot_step(acc):
-            return acc * 1e-9 + jnp.dot(xd, y, precision=jax.lax.Precision.HIGHEST)
+            return acc * 1e-9 + blas_dot(xd, y)
 
         run = device_loop(dot_step, reps)
         t = time_op(run, (jnp.zeros((), dt),), reps)
@@ -192,9 +216,22 @@ def main(argv=None) -> int:
         print(f"dot  {dt_name}: {t*1e6:8.1f} us  {2*n*jnp.dtype(dt).itemsize/t/1e9:7.1f} GB/s",
               file=sys.stderr)
 
-        # MGS proxy: dot + axpy
+        if dt == jnp.float64:
+            def dot_strict_step(acc):
+                return acc * 1e-9 + jnp.dot(
+                    xd, y, precision=jax.lax.Precision.HIGHEST)
+
+            run = device_loop(dot_strict_step, reps)
+            t = time_op(run, (jnp.zeros((), dt),), reps)
+            results["dot_f64_strict"] = dict(
+                seconds=t, gb_per_s=2 * n * 8 / t / 1e9)
+            print(f"dot  f64 strict(xla): {t*1e6:8.1f} us  "
+                  f"{2*n*8/t/1e9:7.1f} GB/s", file=sys.stderr)
+
+        # MGS proxy: dot + axpy (the sequential recurrence's inner step,
+        # using the library dot like solver/gmres.py does)
         def mgs_step(w):
-            h = jnp.dot(w, y, precision=jax.lax.Precision.HIGHEST)
+            h = blas_dot(w, y)
             return w - h * y
 
         run = device_loop(mgs_step, reps)

@@ -180,7 +180,16 @@ def mgs_lowsync_step(V, k, w, L, axis_name, use_pallas=True):
     Vf = _acc(V).astype(at)
     v_k = jax.lax.dynamic_index_in_dim(Vf, k, axis=0, keepdims=False)
     ops = jnp.stack([_acc(w).astype(at), v_k], axis=0)          # (2, n)
-    P = jnp.einsum("jn,cn->jc", Vf, ops, precision=_HI)          # (m+1, 2)
+    if at == jnp.float64:
+        # fp64 matmuls lower to software-emulated MXU ops on TPU (round-5
+        # chip: the einsum form cost 44 ms/step — a 34.8 s baseline-MGS
+        # solve vs the sequential recurrence's 3.06 s).  The elementwise
+        # product + lane-reduction form stays on the VPU, like
+        # _masked_gram (the fast cgs-f64 path: 1.4 ms per m=31 gram at
+        # n=1M, results/round5/kernels_convdiff.txt).
+        P = jnp.sum(Vf[:, None, :] * ops[None, :, :], axis=2)   # (m+1, 2)
+    else:
+        P = jnp.einsum("jn,cn->jc", Vf, ops, precision=_HI)      # (m+1, 2)
     if axis_name is not None:
         P = jax.lax.psum(P, axis_name)
     u = P[:, 0]                       # V^T w; rows > k are zero already
@@ -193,7 +202,10 @@ def mgs_lowsync_step(V, k, w, L, axis_name, use_pallas=True):
     h = jax.scipy.linalg.solve_triangular(
         L, u, lower=True, unit_diagonal=True
     )
-    wf = ops[0] - jnp.einsum("j,jn->n", h, Vf, precision=_HI)
+    if at == jnp.float64:  # same emulated-matmul trap as the gram above
+        wf = ops[0] - jnp.sum(h[:, None] * Vf, axis=0)
+    else:
+        wf = ops[0] - jnp.einsum("j,jn->n", h, Vf, precision=_HI)
     ss_local = jnp.sum(wf * wf)
     return h.astype(w.dtype), wf.astype(w.dtype), ss_local, L
 

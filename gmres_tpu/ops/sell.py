@@ -61,24 +61,23 @@ ROWS_PER_BLOCK = C * SLABS_PER_BLOCK
 # on the chip and point GMRES_TPU_SELL_CALIBRATION at the file (round-2
 # VERDICT weak item 6: no silent v5e magic numbers).
 _COST_DEFAULTS = {
-    # round-4 on-chip refit with the dispatch-free chain timer
-    # (results/round4/calibrate2.txt).  The old belief (fixed 160 ns,
-    # 0.25 ns/lane) hid the W-proportional densify cost and picked W=512;
-    # this fit picks W=256 on mesh-class patterns — measured 2.44 vs
-    # 1.85 Gnnz/s at G=4 and 2.68 at G=8 on mesh3d@1M
-    # (results/round4/ab_xres_g8_w256.txt).  fixed_ns fit to ~0 because
-    # G-batching amortizes the per-step pipeline cost out of the
-    # per-chunk residual.
-    "fixed_ns": 0.0,            # per-chunk pipeline residual (see above)
-    "ns_per_lane": 0.7388,      # densify + matvec weight stream, per W lane
-    "ns_per_slot_byte": 0.0292,  # slot DMA, per byte of (2K, C) f32
-    # VPU densify roofline term: the compare-densify executes ~3*K*W*C
-    # lane-ops per chunk, so the true per-chunk compute cost scales with
-    # the K*W PRODUCT — a term the round-4 (lane + slot-byte) fit cannot
-    # express (it made W=128/K=4 look slower than W=256/K=8 when the
-    # roofline says the opposite; BASELINE.md round-5 roofline section).
-    # 0 keeps the round-4 additive model until the W=128 A/B lands.
-    "ns_per_lane_slot": 0.0,    # per (K*W) unit, max()'d against the DMA
+    # round-5 on-chip refit from the W=128 A/B (mesh3d@1M, auto-G):
+    #   W=256 K=8: 49,152 chunks, 8.962 ms -> 182.3 ns/chunk  (2.81 Gnnz/s)
+    #   W=128 K=8: 73,696 chunks, 8.025 ms -> 108.9 ns/chunk  (3.13 Gnnz/s)
+    #   W=128 K=4: 139,184 chunks, 9.926 ms ->  71.3 ns/chunk (2.53 Gnnz/s)
+    # (results/round5/ab_w128_k8.txt, ab_w256_g16.txt, ab_w128_k4 first
+    # run).  The roofline form below reproduces all three within 1%:
+    #   cost/chunk = fixed + max(VPU densify ~ K*W, slot DMA ~ K bytes)
+    # The round-4 additive fit (fixed 0, 0.7388 ns/lane, 0.0292 ns/B) had
+    # conflated the W-proportional densify with the K-proportional slot
+    # stream and made W=128 look slower than W=256 — on chip W=128/K=8
+    # is 12% FASTER (the densify executes ~3*K*W*C lane-ops per chunk, so
+    # halving W halves the VPU work per nonzero; BASELINE.md round-5
+    # roofline section predicted exactly this).
+    "fixed_ns": 33.7,           # per-chunk pipeline residual
+    "ns_per_lane": 0.0,         # subsumed by the K*W roofline term
+    "ns_per_slot_byte": 0.0092,  # slot DMA, per byte of (2K, C) f32 (~109 GB/s)
+    "ns_per_lane_slot": 0.0734,  # VPU densify, per (K*W) unit; max()'d vs DMA
 }
 _COST_CACHE = None
 

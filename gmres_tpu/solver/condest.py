@@ -29,6 +29,12 @@ from gmres_tpu.ops.spmv import spmv
 from gmres_tpu.sparse import CSRMatrix, csr_from_coo
 
 
+# Per-chunk device-time budget: the v5e worker kills any single XLA
+# execution past ~60 s (scripts/probe_exec_watchdog.py); chunked loops
+# target this much per call so tunnel variance can't push one over.
+_DEVICE_BUDGET_S = 15.0
+
+
 def transpose_csr(A: CSRMatrix) -> CSRMatrix:
     rp = np.asarray(A.row_ptr).astype(np.int64)
     nnz = int(rp[-1])
@@ -101,9 +107,13 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
             verbose=print):
     """Estimate cond_2(A).  Returns (cond, sigma_max, sigma_min, iters)."""
     n = A.n_rows
-    # DIA fast path where the pattern allows (the DIA transpose is a band
-    # re-shift, ops/dia.py:dia_transpose); CSR gather SpMV is ~100x off
-    # bandwidth on TPU and would dominate the thousands of LSQR steps.
+    # Fast-format routing (the DIA transpose is a band re-shift,
+    # ops/dia.py:dia_transpose; an unstructured pattern rides the df64
+    # SELL kernels — fp64-accurate pair arithmetic at f32 bandwidth).
+    # CSR gather SpMV is ~100x off bandwidth on TPU (8e6 nnz/s measured)
+    # and would dominate the thousands of LSQR steps: the round-5
+    # campaign's condest_mesh3d ran the gather path into the worker's
+    # ~60 s per-execution limit (scripts/probe_csr_fault.py).
     if isinstance(A, CSRMatrix):
         from gmres_tpu.ops.dia import dia_transpose, from_csr
 
@@ -112,8 +122,21 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
             A = jax.device_put(dia)
             At = jax.device_put(dia_transpose(dia))
         else:
-            A = jax.device_put(A)
-            At = jax.device_put(transpose_csr(A))
+            At_csr = transpose_csr(A)
+            routed = False
+            if jax.default_backend() == "tpu" and n >= 128 * 1024:
+                from gmres_tpu.ops.sell import DF64Sell, sell_from_csr
+
+                s = sell_from_csr(A, df64=True)
+                st = sell_from_csr(At_csr, df64=True) if s is not None else None
+                if s is not None and st is not None:
+                    A = DF64Sell(sell=jax.device_put(s))
+                    At = DF64Sell(sell=jax.device_put(st))
+                    routed = True
+                    verbose(f"condest operators: df64 SELL (W={s.W} K={s.K})")
+            if not routed:
+                A = jax.device_put(A)
+                At = jax.device_put(At_csr)
     else:
         from gmres_tpu.ops.dia import dia_transpose
 
@@ -128,9 +151,31 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
     c1_prime = 4 * eps
     power_iters = klein_lu_bound(0.1, 1e-12, n)
 
+    # Device loops run in host-bounded chunks: the v5e worker kills any
+    # single XLA execution past ~60 s (round-5 probes,
+    # scripts/probe_exec_watchdog.py — 56 s ok, ~80 s killed), so each
+    # chunk is sized from a measured probe chunk to stay well under.
+    # A host round trip between chunks costs ~ms; the reference's
+    # per-iteration host checks (condest.cpp:139-157) are what this
+    # design avoids, and ceil(T/chunk) trips keep that property.
+    import time as _time
+
     v_max = jnp.asarray(rand_vect(n, rand_seed + 5))
-    _, sigma_max = _power_iteration(A, v_max, power_iters)
-    sigma_max = float(sigma_max)
+    probe = min(32, power_iters)
+    x_p, lam = _power_iteration(A, v_max, probe)
+    float(lam)  # sync (includes compile)
+    t0 = _time.perf_counter()
+    x_p, lam = _power_iteration(A, x_p, probe)  # cached: pure device time
+    float(lam)
+    per_iter = (_time.perf_counter() - t0) / probe
+    done = 2 * probe
+    chunk = max(32, min(50_000, int(_DEVICE_BUDGET_S / max(per_iter, 1e-7))))
+    while done < power_iters:
+        k = min(chunk, power_iters - done)
+        x_p, lam = _power_iteration(A, x_p, k)
+        float(lam)  # host sync bounds on-device time per call
+        done += k
+    sigma_max = float(lam)
     verbose(f"sigma_max = {sigma_max:g}")
 
     x_exact = jnp.asarray(rand_vect(n, rand_seed))
@@ -161,53 +206,71 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
     # iteration (condest.cpp:139-157) — free on-node, ruinous over a remote
     # device transport.  All quantities are device scalars, so both phases
     # (iterate-until-threshold, then 25% extra iterations) run as jitted
-    # while_loops with exactly two host round trips.
+    # while_loops — in host-bounded CHUNKS (``t_end`` caps the loop
+    # counter per call) so no single execution exceeds the worker's ~60 s
+    # limit.  Exiting a chunk early and re-entering with the same carry is
+    # iteration-for-iteration identical to one long loop.
+    def step(carry):
+        state, t, _fin, _deg, relaxed = carry
+        state, sc = _lsqr_step(A, At, state)
+        sigma_min = sc["sigma_min"]
+        # The c4-triggered switch to c1' is PERMANENT in the reference
+        # (condest.cpp:138-140 assigns c1 = c1_prime), so carry a
+        # sticky flag rather than re-evaluating per iteration.
+        relaxed = relaxed | (sigma_min / sigma_max <= c4)
+        c1_eff = jnp.where(relaxed, c1_prime, c1)
+        finished = (
+            (sc["ad_norm"] / (sigma_max * sc["x_norm"] + b_norm) <= c1_eff)
+            | (sc["d_norm"] <= tau)
+            | (sigma_max / sigma_min >= c3)
+        )
+        degenerate = (sc["d_norm"] == 0) | jnp.isnan(sc["ad_norm"])
+        return state, t + 1, finished, degenerate, relaxed
+
     @jax.jit
-    def _run_phases(state):
-        def step(carry):
-            state, t, _fin, _deg, relaxed = carry
-            state, sc = _lsqr_step(A, At, state)
-            sigma_min = sc["sigma_min"]
-            # The c4-triggered switch to c1' is PERMANENT in the reference
-            # (condest.cpp:138-140 assigns c1 = c1_prime), so carry a
-            # sticky flag rather than re-evaluating per iteration.
-            relaxed = relaxed | (sigma_min / sigma_max <= c4)
-            c1_eff = jnp.where(relaxed, c1_prime, c1)
-            finished = (
-                (sc["ad_norm"] / (sigma_max * sc["x_norm"] + b_norm) <= c1_eff)
-                | (sc["d_norm"] <= tau)
-                | (sigma_max / sigma_min >= c3)
-            )
-            degenerate = (sc["d_norm"] == 0) | jnp.isnan(sc["ad_norm"])
-            return state, t + 1, finished, degenerate, relaxed
+    def _phase1_chunk(carry, t_end):
+        return jax.lax.while_loop(
+            lambda c: (~c[2]) & (~c[3]) & (c[1] <= t_end), step, carry)
 
-        carry0 = (state, jnp.asarray(1, jnp.int32), jnp.asarray(False),
-                  jnp.asarray(False), jnp.asarray(False))
-        state, t1, fin, deg, relaxed = jax.lax.while_loop(
-            lambda c: (~c[2]) & (~c[3]) & (c[1] <= max_iters), step, carry0
-        )
-        # The tail runs until ceil(1.25 * t_fire) TOTAL iterations, where
-        # t_fire is the iteration at which 'finished' fired (the loop
-        # counter was already incremented when we exited, hence t1 - 1 —
-        # condest.cpp:142-148 sets T = ceil(1.25 t) inside iteration t).
-        # No tail when the loop ended by degeneracy or max_iters; the
-        # 'finished' test is not re-evaluated in the tail (T != max_iters
-        # guards it in the reference), degeneracy still stops.
-        t_target = jnp.where(
-            fin & ~deg,
-            jnp.ceil((t1 - 1).astype(jnp.float64) * 1.25).astype(jnp.int32),
-            jnp.asarray(0, jnp.int32),
-        )
-        state, t2, _, _, _ = jax.lax.while_loop(
-            lambda c: (~c[3]) & (c[1] <= t_target), step,
-            (state, t1, jnp.asarray(False), deg, relaxed),
-        )
-        sigma_min = state[9]
-        return t2, sigma_min
+    @jax.jit
+    def _tail_chunk(carry, t_end):
+        # 'finished' is not re-evaluated in the tail (the reference guards
+        # it with T != max_iters); degeneracy still stops.
+        return jax.lax.while_loop(
+            lambda c: (~c[3]) & (c[1] <= t_end), step, carry)
 
-    t, sigma_min = jax.device_get(_run_phases(state))
-    t = int(t)
-    sigma_min = float(sigma_min)
+    lsqr_chunk = 16  # grown adaptively from each chunk's measured wall
+    carry = (state, jnp.asarray(1, jnp.int32), jnp.asarray(False),
+             jnp.asarray(False), jnp.asarray(False))
+    while True:
+        t_host = int(carry[1])
+        t_end = min(t_host + lsqr_chunk - 1, max_iters)
+        t0 = _time.perf_counter()
+        carry = _phase1_chunk(carry, jnp.asarray(t_end, jnp.int32))
+        t_new = int(carry[1])
+        fin, deg = bool(carry[2]), bool(carry[3])
+        wall = _time.perf_counter() - t0
+        if fin or deg or t_new > max_iters:
+            t1, state = t_new, carry[0]
+            break
+        per_it = wall / max(t_new - t_host, 1)
+        lsqr_chunk = max(16, min(50_000,
+                                 int(_DEVICE_BUDGET_S / max(per_it, 1e-7))))
+    # The tail runs until ceil(1.25 * t_fire) TOTAL iterations, where
+    # t_fire is the iteration at which 'finished' fired (the loop
+    # counter was already incremented when we exited, hence t1 - 1 —
+    # condest.cpp:142-148 sets T = ceil(1.25 t) inside iteration t).
+    # No tail when the loop ended by degeneracy or max_iters.
+    t_target = math.ceil((t1 - 1) * 1.25) if (fin and not deg) else 0
+    carry = (state, carry[1], jnp.asarray(False), carry[3], carry[4])
+    while int(carry[1]) <= t_target and not bool(carry[3]):
+        t_host = int(carry[1])
+        t_end = min(t_host + lsqr_chunk - 1, t_target)
+        carry = _tail_chunk(carry, jnp.asarray(t_end, jnp.int32))
+        if int(carry[1]) == t_host:  # safety: no progress (t_end < t)
+            break
+    t = int(carry[1])
+    sigma_min = float(carry[0][9])
 
     verbose(f"{t} iterations total")
     cond = sigma_max / sigma_min

@@ -192,9 +192,19 @@ def _inner_cycle(cfg: GmresConfig, A_in: CSRMatrix, M, w0, beta, restart_tol,
     # remains the reference-parity escape hatch (low_sync_mgs=False);
     # carry the strictly-lower triangular basis-coupling matrix L,
     # built one row per step.
+    #
+    # AUTO stays OFF for fp64 cycles (the uniform-fp64 baseline tier):
+    # the sequential recurrence's dots ride the streaming df64 pair
+    # kernel (ops/blas.py), while ICWY's batched gram is a matmul-shaped
+    # reduction whose fp64 form XLA lowers to software-emulated MXU ops —
+    # round-5 chip: 34.8 s vs sequential's 3.06 s on the convdiff@1M
+    # baseline-MGS solve (results/round5/bench_mgs_*.txt).  Forcing
+    # low_sync_mgs=True at fp64 uses the elementwise-VPU gram fallback
+    # in mgs_lowsync_step, which avoids the emulation cliff.
     lowsync = cfg.orth.value == "mgs" and (
         cfg.low_sync_mgs is True
         or (cfg.low_sync_mgs is None
+            and in_dt != jnp.float64
             and (axis is not None or jax.default_backend() == "tpu")))
     acc_dt = _f64 if in_dt == jnp.float64 else jnp.float32
 

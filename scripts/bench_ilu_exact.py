@@ -99,12 +99,47 @@ def main():
           flush=True)
 
     # unstructured factor: the level-scheduled path (precond/level_ilu.py,
-    # the csrsv2 analog) on a jittered-stencil pattern DIA refuses
+    # the csrsv2 analog) on a jittered-stencil pattern DIA refuses.  The
+    # 3D-class pattern (run=8) produces an ILU(0) factor with n dependency
+    # LEVELS (fully sequential triangular solves) — build_ilu_exact
+    # REFUSES it by design (the work budget; round-5 campaign), which is
+    # this framework's answer to the reference's own negative result
+    # (exact trisolve is a net slowdown even on GPU,
+    # plots-and-data.ipynb:723).  Report the refusal, then measure the
+    # level-scheduled path on the 2D-class pattern (run=3) it accepts.
     from gmres_tpu.io.synth import unstructured_mesh
 
-    Au = unstructured_mesh(512 * 512, run=8)
+    Au3 = unstructured_mesh(512 * 512, run=8)
+    try:
+        build_ilu_exact(Au3, jnp.float32)
+        print("unstructured(run=8): accepted (unexpected at this size)",
+              flush=True)
+    except ValueError as e:
+        print(f"unstructured(run=8) exact ILU REFUSED by work budget "
+              f"(designed): {str(e)[:120]}", flush=True)
+
+    # Any jittered-stencil pattern keeps the (i, i-1) chain, so its ILU(0)
+    # factor has n levels — refused too.  The pattern class the csrsv2
+    # analog (kernels_cuda.cpp:617-695) actually exploits is a SHALLOW
+    # dependency DAG: red-black color the 5-point operator (neighbors
+    # always alternate color, so each triangular factor has exactly 2
+    # levels) — the permuted pattern is scattered (DIA rejects it) and
+    # routes the level-scheduled path at full parallelism.
+    from gmres_tpu.ops.reorder import permute_symmetric
+
+    ii, jj = np.divmod(np.arange(n, dtype=np.int64), nx)
+    color = (ii + jj) & 1
+    perm = np.concatenate([np.flatnonzero(color == 0),
+                           np.flatnonzero(color == 1)])
+    Au = permute_symmetric(A, perm)
     t0 = time.perf_counter()
-    Mu = build_ilu_exact(Au, jnp.float32)
+    try:
+        Mu = build_ilu_exact(Au, jnp.float32)
+    except ValueError as e:
+        print(f"red-black exact ILU refused: {str(e)[:120]}", flush=True)
+        print("(no TPU-admissible unstructured exact factor at this size; "
+              "the level budget is the designed gate)", flush=True)
+        return
     t_build = time.perf_counter() - t0
     print(f"unstructured exact ILU: {type(Mu).__name__} "
           f"(built {t_build:.1f}s)", flush=True)
@@ -125,6 +160,55 @@ def main():
     print(f"unstructured exact trisolve apply: {t_apply_u*1e3:.1f} ms "
           f"rel err vs host oracle: {rel_u:.2e}", flush=True)
     assert rel_u < 2e-4, rel_u
+
+    # LEVEL-SCHEDULED path (precond/level_ilu.py — the csrsv2 analog): a
+    # shallow-but-wide dependency DAG is the pattern class it exists for.
+    # 2048 layers x 128 rows, each row coupled to 5 random rows of the
+    # previous layer: 2048 levels x ~760 nnz/level — full sweeps blow the
+    # work budget (2048 * 1.55M = 3.2e9 > 2e9) but the level apply pays
+    # only sum_c nnz_c.
+    from gmres_tpu.precond.level_ilu import LevelILUPrec
+    from gmres_tpu.sparse import csr_from_coo
+
+    Lc, R = 2048, 128
+    nl = Lc * R
+    rows, cols, vals = [], [], []
+    for layer in range(Lc):
+        base = layer * R
+        r = np.arange(base, base + R, dtype=np.int64)
+        rows.append(r)
+        cols.append(r)
+        vals.append(np.full(R, 8.0))
+        if layer > 0:
+            for _ in range(5):
+                rows.append(r)
+                cols.append(rng.integers(base - R, base, R))
+                vals.append(np.full(R, -1.0))
+    Al = csr_from_coo(np.concatenate(rows), np.concatenate(cols),
+                      np.concatenate(vals), n_rows=nl, n_cols=nl,
+                      sum_duplicates=True)
+    t0 = time.perf_counter()
+    Ml = build_ilu_exact(Al, jnp.float32)
+    print(f"layered-DAG exact ILU: {type(Ml).__name__} "
+          f"(built {time.perf_counter()-t0:.1f}s)", flush=True)
+    assert isinstance(Ml, LevelILUPrec), type(Ml).__name__
+    Mlj = build_ilu_jacobi(Al, jnp.float32, steps=1)
+    Ll = sp.identity(nl, format="csr") + Mlj.lower.to_scipy().astype(np.float64)
+    Ul = Mlj.upper.to_scipy().astype(np.float64).tocsr()
+    wl = rng.standard_normal(nl).astype(np.float32)
+    want_l = spla.spsolve_triangular(
+        Ul, spla.spsolve_triangular(Ll, wl.astype(np.float64), lower=True),
+        lower=False,
+    )
+    got_l = np.asarray(apply_preconditioner(Ml, jnp.asarray(wl)))  # compile
+    t0 = time.perf_counter()
+    got_l = np.asarray(apply_preconditioner(Ml, jnp.asarray(wl + 1e-9)))
+    t_apply_l = time.perf_counter() - t0
+    rel_l = np.linalg.norm(got_l - want_l) / np.linalg.norm(want_l)
+    print(f"level-scheduled exact trisolve apply (2048 levels): "
+          f"{t_apply_l*1e3:.1f} ms rel err vs host oracle: {rel_l:.2e}",
+          flush=True)
+    assert rel_l < 2e-4, rel_l
 
 
 if __name__ == "__main__":

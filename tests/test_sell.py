@@ -322,7 +322,8 @@ def test_cost_model_calibration_override(tmp_path, monkeypatch):
     monkeypatch.setattr(sm, "_COST_CACHE", None)
     cm = sm._cost_model()
     assert cm == {"fixed_ns": 999.0, "ns_per_lane": 1.5,
-                  "ns_per_slot_byte": 0.5}
+                  "ns_per_slot_byte": 0.5,
+                  "ns_per_lane_slot": sm._COST_DEFAULTS["ns_per_lane_slot"]}
     # unknown keys are ignored, missing keys keep defaults
     path.write_text(json.dumps({"fixed_ns": 5.0, "bogus": 1}))
     monkeypatch.setattr(sm, "_COST_CACHE", None)
