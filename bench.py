@@ -120,7 +120,10 @@ def main():
     # would materialize the padded slot view just to block (a 4 GB HLO
     # temp at n=1M; round-3 VERDICT item 1a)
     jax.block_until_ready(jax.tree.leaves(A_staged))
-    log(f"operator staged (DIA={A_staged is not A}) in {time.perf_counter()-t0:.1f}s")
+    # fast_format=True means stage() re-packed the operator (DIA for banded
+    # patterns, SELL for unstructured ones — the label used to say "DIA"
+    # for both, which was misleading on mesh3d)
+    log(f"operator staged (fast_format={A_staged is not A}) in {time.perf_counter()-t0:.1f}s")
 
     common = dict(
         orth=args.orth,
