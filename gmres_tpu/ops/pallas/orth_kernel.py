@@ -382,11 +382,11 @@ def _mgs(V, w, interpret=False, R=None):
             functools.partial(_mgs_kernel, m1=m1, rows=rows, R=R),
             grid=(-(-m1 // R),),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # V rows DMA'd manually
-                pl.BlockSpec(memory_space=pltpu.ANY),   # w stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),   # V rows DMA'd manually
+                pl.BlockSpec(memory_space=pl.ANY),   # w stays in HBM
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),   # w' written by DMA
+                pl.BlockSpec(memory_space=pl.ANY),   # w' written by DMA
                 pl.BlockSpec((8, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
             ),
             out_shape=(
