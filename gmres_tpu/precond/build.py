@@ -232,6 +232,10 @@ class ExactILUDIAPrec:
 # own data too, BASELINE.md).
 _TRISOLVE_VMEM_BYTES = 12 * 1024 * 1024
 
+# At or below this many dependency levels the exact solve is just that many
+# plain Jacobi sweeps (XLA dispatches) — no chain kernel is worth building.
+_SHALLOW_LEVELS = 8
+
 # Per-apply element-op ceiling for exact solves expressed as sweeps
 # (full-sweep ILUJacobiPrec or level-scheduled chunks); past this the
 # build refuses rather than hand the solver a multi-second preconditioner.
@@ -297,6 +301,16 @@ def build_ilu_exact(A: CSRMatrix, dtype, allow_fused: bool = True):
     nlev_l, nlev_u = triangular_level_counts(rp.astype(np.int64), ci, diag)
     lower, upper, inv_diag = _split_triangles(rp, ci, fvals, diag, dtype)
 
+    # Shallow dependency DAG (e.g. red-black ordered 5-point stencil:
+    # exactly 2 levels per triangle): `levels` plain Jacobi sweeps ARE the
+    # exact substitution, and a couple of fused-XLA dispatches beat any
+    # VMEM-resident chain kernel — which the wide red-black band offsets
+    # (~n/2) would degenerate anyway (halo ~ segment; round-5 campaign
+    # crash in bench_ilu_exact).  The apply also stays vmappable.
+    if max(nlev_l, nlev_u) <= _SHALLOW_LEVELS:
+        return ILUJacobiPrec(lower=lower, upper=upper, inv_diag=inv_diag,
+                             steps=max(nlev_l, nlev_u))
+
     # strictly-upper CSR for the fused kernel (``upper`` includes the diag);
     # the kernel is f32-only (Mosaic has no f64), so fp64 preconditioners
     # keep the XLA sweep path below
@@ -347,7 +361,11 @@ def build_ilu_exact(A: CSRMatrix, dtype, allow_fused: bool = True):
             pad_u = -(-max(list(offs_u) or [1]) // 128) * 128
             d_max = max(len(lo_dia.offsets), len(offs_u), 1)
             seg = (_TRISOLVE_VMEM_BYTES // (4 * (d_max + 5))) // 1024 * 1024
-            if seg >= max(pad_l, pad_u, 1024):
+            # halos must stay a minority of each segment: a factor whose
+            # band width rivals the segment (red-black offsets ~ n/2)
+            # degenerates to one giant-halo segment and blows the Mosaic
+            # compile — route such patterns to the sweep/level paths below
+            if seg >= max(4 * pad_l, 4 * pad_u, 1024):
                 n_pad2 = -(-n // seg) * seg
                 lb, ub, invd = band_arrays(n_pad2)
                 sl, su = _segment_level_counts(

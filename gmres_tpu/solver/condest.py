@@ -210,7 +210,12 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
     # counter per call) so no single execution exceeds the worker's ~60 s
     # limit.  Exiting a chunk early and re-entering with the same carry is
     # iteration-for-iteration identical to one long loop.
-    def step(carry):
+    # ``ops`` is threaded through the jitted chunks as an ARGUMENT: closing
+    # over A/At would embed the operator arrays as HLO constants, and the
+    # tunnel's remote-compile endpoint rejects the resulting request body
+    # at SELL-pack sizes (HTTP 413, round-5 condest_mesh3d failure).
+    def step(ops, carry):
+        A, At = ops
         state, t, _fin, _deg, relaxed = carry
         state, sc = _lsqr_step(A, At, state)
         sigma_min = sc["sigma_min"]
@@ -228,16 +233,20 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
         return state, t + 1, finished, degenerate, relaxed
 
     @jax.jit
-    def _phase1_chunk(carry, t_end):
+    def _phase1_chunk(ops, carry, t_end):
         return jax.lax.while_loop(
-            lambda c: (~c[2]) & (~c[3]) & (c[1] <= t_end), step, carry)
+            lambda c: (~c[2]) & (~c[3]) & (c[1] <= t_end),
+            lambda c: step(ops, c), carry)
 
     @jax.jit
-    def _tail_chunk(carry, t_end):
+    def _tail_chunk(ops, carry, t_end):
         # 'finished' is not re-evaluated in the tail (the reference guards
         # it with T != max_iters); degeneracy still stops.
         return jax.lax.while_loop(
-            lambda c: (~c[3]) & (c[1] <= t_end), step, carry)
+            lambda c: (~c[3]) & (c[1] <= t_end),
+            lambda c: step(ops, c), carry)
+
+    ops = (A, At)
 
     lsqr_chunk = 16  # grown adaptively from each chunk's measured wall
     carry = (state, jnp.asarray(1, jnp.int32), jnp.asarray(False),
@@ -246,7 +255,7 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
         t_host = int(carry[1])
         t_end = min(t_host + lsqr_chunk - 1, max_iters)
         t0 = _time.perf_counter()
-        carry = _phase1_chunk(carry, jnp.asarray(t_end, jnp.int32))
+        carry = _phase1_chunk(ops, carry, jnp.asarray(t_end, jnp.int32))
         t_new = int(carry[1])
         fin, deg = bool(carry[2]), bool(carry[3])
         wall = _time.perf_counter() - t0
@@ -266,7 +275,7 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
     while int(carry[1]) <= t_target and not bool(carry[3]):
         t_host = int(carry[1])
         t_end = min(t_host + lsqr_chunk - 1, t_target)
-        carry = _tail_chunk(carry, jnp.asarray(t_end, jnp.int32))
+        carry = _tail_chunk(ops, carry, jnp.asarray(t_end, jnp.int32))
         if int(carry[1]) == t_host:  # safety: no progress (t_end < t)
             break
     t = int(carry[1])

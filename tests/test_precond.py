@@ -234,6 +234,40 @@ def test_ilu_exact_segmented_matches_substitution():
     np.testing.assert_allclose(got, got_fused, rtol=1e-6, atol=1e-7)
 
 
+def test_ilu_exact_shallow_levels_use_plain_sweeps():
+    """A red-black ordered 5-point operator has exactly 2 dependency levels
+    per triangle; build_ilu_exact must return the plain 2-sweep
+    ILUJacobiPrec (exact by nilpotency) instead of a DIA chain kernel —
+    the ~n/2 band offsets degenerate the segmented form to one giant-halo
+    segment that crashed the Mosaic compile on chip (round-5 campaign,
+    bench_ilu_exact)."""
+    from gmres_tpu.ops.reorder import permute_symmetric
+    from gmres_tpu.precond.build import ILUJacobiPrec
+
+    nx = 16
+    A = convection_diffusion_2d(nx)
+    n = A.n_rows
+    ii, jj = np.divmod(np.arange(n, dtype=np.int64), nx)
+    color = (ii + jj) & 1
+    perm = np.concatenate(
+        [np.flatnonzero(color == 0), np.flatnonzero(color == 1)])
+    Arb = permute_symmetric(A, perm)
+
+    M = build_ilu_exact(Arb, jnp.float32)
+    assert isinstance(M, ILUJacobiPrec)
+    assert M.steps == 2
+
+    import scipy.sparse as sp
+
+    L = np.eye(n) + M.lower.to_scipy().toarray().astype(np.float64)
+    U = M.upper.to_scipy().toarray().astype(np.float64)
+    rng = np.random.default_rng(33)
+    w = rng.standard_normal(n).astype(np.float32)
+    want = np.linalg.solve(U, np.linalg.solve(L, w.astype(np.float64)))
+    got = np.asarray(apply_preconditioner(M, jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_pad_prec_segmented_exact_ilu():
     """solve()'s _ALIGN padding on a SEGMENTED exact-ILU prec must keep the
     kernel's invariants: width stays a segment multiple (rounding the pad
