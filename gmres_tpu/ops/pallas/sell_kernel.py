@@ -496,12 +496,18 @@ def _sell_df64_dense_call(bucket, slab, vidx, blocks_hi, blocks_lo, xh, xl,
 
 
 def sell_spmv_df64(A: SELLMatrix, xh: jax.Array, xl: jax.Array,
-                   interpret: bool = False):
+                   interpret: bool | None = None):
     """(y_hi, y_lo) = A @ x in double-float for a df64-packed SELLMatrix
     (``sell_from_csr(..., df64=True)``).  ~2^-48 relative accuracy — the
-    mixed scheme's fp64 outer residual for unstructured operators."""
+    mixed scheme's fp64 outer residual for unstructured operators.
+
+    ``interpret`` defaults by backend (same convention as df64_kernel /
+    trisolve_kernel): off-TPU callers — e.g. condest's df64-SELL route
+    under test — run the kernel in interpret mode instead of erroring."""
     if not A.packed_lo:
         raise TypeError("SELLMatrix was not packed with df64=True")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     xh = _pad_x(A, xh.astype(jnp.float32)).reshape(A.n_buckets, 1, A.W)
     xl = _pad_x(A, xl.astype(jnp.float32)).reshape(A.n_buckets, 1, A.W)
     n_slabs_total = A.n_rows_pad // C

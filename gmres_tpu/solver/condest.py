@@ -103,6 +103,12 @@ def _lsqr_step(A: CSRMatrix, At: CSRMatrix, state):
     return new_state, scalars
 
 
+# SELL routing gates (module-level so tests can exercise the df64-SELL
+# operator path on CPU/interpret without a TPU backend)
+_SELL_ROUTE_MIN_ROWS = 128 * 1024
+_SELL_ROUTE_FORCE = False
+
+
 def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
             verbose=print):
     """Estimate cond_2(A).  Returns (cond, sigma_max, sigma_min, iters)."""
@@ -124,7 +130,9 @@ def condest(A: CSRMatrix, rand_seed: int = 42, max_iters: int = 100_000,
         else:
             At_csr = transpose_csr(A)
             routed = False
-            if jax.default_backend() == "tpu" and n >= 128 * 1024:
+            want_sell = (jax.default_backend() == "tpu"
+                         and n >= _SELL_ROUTE_MIN_ROWS) or _SELL_ROUTE_FORCE
+            if want_sell:
                 from gmres_tpu.ops.sell import DF64Sell, sell_from_csr
 
                 s = sell_from_csr(A, df64=True)
